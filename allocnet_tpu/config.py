@@ -1,0 +1,211 @@
+"""Typed configuration for allocnet_tpu.
+
+One config system spanning both worlds of the reference:
+  * the C++ planner knobs (reference: src/planner/config/planner.yaml:1-23,
+    learning_planning.cpp:13-33, qp_solver.hpp:14-26)
+  * the Python training configs (reference: network/configs/*.yaml,
+    network/utils/params.yaml)
+
+Knob names follow the reference so users can port configs 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class QPConfig:
+    """Shape + limits of the corridor-constrained min-snap/jerk QP.
+
+    Reference: qp_solver.hpp:14-26 (QPConfig), network/utils/params.yaml.
+    """
+
+    # order = 3 -> min-jerk (degree-5), order = 4 -> min-snap (degree-7).
+    # Reference: planner.yaml:23 (OptOrder), params.yaml planning.order.
+    order: int = 4
+    # number of boundary states constrained at start/end (p, v, a).
+    state_dim: int = 3
+    # spatial dimension.
+    dim: int = 3
+    # feasibility sampling resolution per segment (reference: ConstRes=20
+    # planner.yaml:21; res=10 in training configs).
+    res: int = 20
+    # max number of segments S (reference: ModelMaxSeg=5, learning_planner.hpp:33).
+    max_seg: int = 5
+    # max number of faces per polytope (reference: 50, learning_planner.hpp:40).
+    max_faces: int = 50
+    # box dynamic limits (reference: planner.yaml MaxVelBox/MaxAccBox = 4/6;
+    # training params.yaml max_vel/max_acc = 5/7).
+    max_vel: float = 4.0
+    max_acc: float = 6.0
+
+    @property
+    def D(self) -> int:
+        """Coefficients per segment per axis (2 * order)."""
+        return 2 * self.order
+
+    @property
+    def n_var(self) -> int:
+        """Total decision variables = S * dim * D (reference qp_solver.hpp:133)."""
+        return self.max_seg * self.dim * self.D
+
+    @property
+    def n_eq(self) -> int:
+        """Equality rows at full S = (2*state_dim + order*(S-1))*dim
+        (reference qp_solver.hpp:134)."""
+        return (2 * self.state_dim + self.order * (self.max_seg - 1)) * self.dim
+
+    @property
+    def n_corr(self) -> int:
+        """Corridor inequality rows (padded): S * res * F."""
+        return self.max_seg * self.res * self.max_faces
+
+    @property
+    def n_box(self) -> int:
+        """Velocity/acceleration box rows: S * res * 2 * dim * 2(+/-)
+        (reference qp_solver.hpp:135)."""
+        return self.max_seg * self.res * 4 * self.dim
+
+    @property
+    def n_ineq(self) -> int:
+        return self.n_corr + self.n_box
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched ADMM (OSQP-style) solver settings.
+
+    The algorithm follows OSQP's splitting (the reference calls OSQP itself:
+    qp_solver.hpp:298-358, layers.py:77-81); all constants are our own tuning
+    for the unit-time-scaled formulation.
+    """
+
+    sigma: float = 1e-6
+    # In the tau-scaled, slot-equilibrated formulation the constraint rows are
+    # O(1) while the cost blocks are small (T^{-(2o-1)} weights), so the ADMM
+    # penalty wants to sit well above OSQP's 0.1 default; a sweep over random
+    # corridor batches lands on rho ~ 3-5 (127/128 solved at both f32/f64),
+    # with polish finishing to ~1e-6.
+    rho: float = 3.0
+    # equality rows use rho_eq = rho * rho_eq_scale (OSQP uses 1e3; we keep it
+    # lower so rho_eq stays within float32's comfortable range — polish
+    # enforces the equalities to machine precision anyway).
+    rho_eq_scale: float = 100.0
+    alpha: float = 1.6
+    # number of (refactor, inner-iteration) chunks: rho is rescaled between
+    # chunks from primal/dual residual balance, which needs a refactor.
+    n_chunks: int = 3
+    iters_per_chunk: int = 150
+    # polish: active-set KKT refinement after ADMM (OSQP "polish" analog).
+    # Multiple rounds re-detect the active set from the polished point, which
+    # rescues scenarios whose ADMM duals were still noisy.
+    polish: bool = True
+    polish_rounds: int = 2
+    # max active inequality rows kept in the polish KKT (padded, static shape).
+    max_active: int = 144
+    polish_delta: float = 1e-7
+    polish_refine_steps: int = 2
+    # tolerance used for reporting/acceptance
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Time-allocation network (reference: minsnap_network_conv*.py)."""
+
+    seq_len: int = 5            # 5 or 10
+    hidden_size: int = 256      # LSTM hidden (training configs use 256)
+    mlp_hidden: int = 128       # MLP-head hidden
+    token_thresh: float = 0.42  # stop-token threshold (0.35 for deployed variants)
+    head: str = "lstm"          # "lstm" | "mlp"
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference: network/configs/minsnap_conv_lstm_params.yaml:40-44,
+    layers.py / minsnap_network_conv_lstm.py:371-389)."""
+
+    w1: float = 17.5     # mean time-factor loss
+    wt: float = 1200.0   # supervised time MSE fallback (unsolved QPs)
+    wc: float = 0.1      # normalized QP cost
+    wp: float = 20.0     # stop-token / padding loss
+    end_penalty: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    batch_size: int = 32
+    t0: int = 500            # cosine warm restarts period
+    t_mult: int = 2
+    eta_min: float = 1e-5
+    max_epochs: int = 50
+    training_data_ratio: float = 0.9
+    save_freq: int = 1
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CorridorConfig:
+    """Corridor generation (reference: sfc_gen.hpp, corridor_generator.py)."""
+
+    # local point-cloud crop range & inflation progress per window
+    # (reference: sfc_gen::convexCover(range=7.0, progress=3.0),
+    # learning_planner.hpp plan():~7.0/3.0)
+    range_xy: float = 7.0
+    progress: float = 3.0
+    firi_iters: int = 4
+    # RRT front end (reference: rrt3D.py:25 maxiter, stepsize)
+    rrt_max_iter: int = 5000
+    rrt_step: float = 1.0
+    rrt_goal_bias: float = 0.1
+    safe_distance: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysParams:
+    """Quadrotor physical parameters for the flatness map
+    (reference: planner.yaml:1-12, flatness.hpp:37-52)."""
+
+    vehicle_mass: float = 0.61
+    grav_acc: float = 9.81
+    horiz_drag: float = 0.70
+    vert_drag: float = 0.80
+    parasitic_drag: float = 0.01
+    speed_smooth: float = 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class AllocNetConfig:
+    qp: QPConfig = dataclasses.field(default_factory=QPConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    corridor: CorridorConfig = dataclasses.field(default_factory=CorridorConfig)
+    phys: PhysParams = dataclasses.field(default_factory=PhysParams)
+
+
+# Configs ride through jit as static pytree leaves (frozen => hashable; a
+# change in any knob triggers a retrace, which is exactly right).
+for _cls in (QPConfig, SolverConfig, ModelConfig, LossConfig, TrainConfig,
+             CorridorConfig, PhysParams, AllocNetConfig):
+    jax.tree_util.register_static(_cls)
+
+
+# Deployment operating point (planner.yaml): order=4, res=20, v<=4, a<=6.
+DEPLOY = AllocNetConfig()
+
+# Training operating point (network configs): order per-config, res=10, v<=5, a<=7.
+TRAIN = AllocNetConfig(
+    qp=QPConfig(order=4, res=10, max_vel=5.0, max_acc=7.0),
+)
+
+
+def jerk(cfg: QPConfig) -> QPConfig:
+    return dataclasses.replace(cfg, order=3)

@@ -1,0 +1,377 @@
+"""Batched OSQP-style ADMM solver + active-set polish, pure JAX.
+
+Replaces the reference's external OSQP calls (qp_solver.hpp:298-358,
+layers.py:74-81) with a TPU-native batched first-order method:
+
+  * the x-update linear system is the closed-form block-tridiagonal normal
+    matrix from ops/qp.py (n = S*3*D <= 120), inverted once per rho update
+    and applied as a batched matmul (MXU work, no host round trips);
+  * constraint applications are matrix-free einsums — the res*F inequality
+    rows are never materialized;
+  * everything is fixed-shape, fixed-iteration (lax.scan), and vmappable, so
+    thousands of scenarios solve in one XLA program — the reference solves
+    them serially in a Python loop (minsnap_network_conv_lstm.py:340-395).
+
+Algorithm (OSQP, Stellato et al. 2020): splitting with per-constraint rho
+(equalities get rho_eq = 1e3 * rho as OSQP does), relaxation alpha, adaptive
+rho rescaling between fixed-size chunks (each rescale re-factors the normal
+matrix), then a "polish": solve the KKT system restricted to the detected
+active set with +/- delta regularization and iterative refinement.  Polish is
+what delivers ~1e-6 accuracy so the north-star <=1e-3 parity vs OSQP holds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from allocnet_tpu.config import SolverConfig
+from allocnet_tpu.ops import qp
+from allocnet_tpu.ops.qp import QPData, EQ_KEYS, INEQ_KEYS
+
+tmap = jax.tree.map
+
+
+class QPSolution(NamedTuple):
+    x: jax.Array          # (B, S, 3, D) scaled solution
+    coeffs: jax.Array     # (B, S, 3, D) physical coefficients
+    obj: jax.Array        # (B,) physical objective 1/2 x^T Q x
+    nu: jax.Array         # (B, m_eq) equality duals (scaled rows)
+    lam: dict             # {'corr': (B,S,R,F), 'box': (B,S,R,3,4)} ineq duals
+    pri_res: jax.Array    # (B,) final max primal violation
+    dua_res: jax.Array    # (B,) final max dual residual
+    solved: jax.Array     # (B,) bool: residuals within tolerance + obj window
+    polished: jax.Array   # (B,) bool: polish accepted
+
+
+def _rho_tree(y: dict, rho_e: jax.Array, rho_i: jax.Array) -> dict:
+    out = {}
+    for k in EQ_KEYS:
+        out[k] = rho_e.reshape((-1,) + (1,) * (y[k].ndim - 1))
+    for k in INEQ_KEYS:
+        out[k] = rho_i.reshape((-1,) + (1,) * (y[k].ndim - 1))
+    return out
+
+
+def _project(v: dict, beq: dict, h: dict) -> dict:
+    out = {k: beq[k] for k in EQ_KEYS}
+    for k in INEQ_KEYS:
+        out[k] = jnp.minimum(v[k], h[k])
+    return out
+
+
+def _maxabs(t: dict, keys) -> jax.Array:
+    B = t[keys[0]].shape[0]
+    return jnp.max(
+        jnp.stack([jnp.max(jnp.abs(t[k].reshape(B, -1)), axis=1) for k in keys]),
+        axis=0,
+    )
+
+
+def _residuals(data: QPData, x, z, y, beq, h):
+    """OSQP primal/dual residuals (unscaled-rho form)."""
+    ax = qp.apply_A(data, x)
+    dif = tmap(lambda a, b: a - b, ax, z)
+    pri = _maxabs(dif, EQ_KEYS + INEQ_KEYS)
+    pri_rel = jnp.maximum(_maxabs(ax, EQ_KEYS + INEQ_KEYS),
+                          _maxabs(z, EQ_KEYS + INEQ_KEYS))
+    px = qp.apply_P(data, x)
+    aty = qp.apply_AT(data, y)
+    B = px.shape[0]
+    dua = jnp.max(jnp.abs((px + aty).reshape(B, -1)), axis=1)
+    dua_rel = jnp.maximum(jnp.max(jnp.abs(px.reshape(B, -1)), axis=1),
+                          jnp.max(jnp.abs(aty.reshape(B, -1)), axis=1))
+    return pri, pri_rel, dua, dua_rel
+
+
+def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
+    """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua)."""
+    cfg = data.cfg
+    dtype = data.times.dtype
+    B = data.times.shape[0]
+    n = cfg.n_var
+
+    beq = qp.eq_rhs(data)
+    h = qp.ineq_rhs(data)
+
+    x = jnp.zeros((B, cfg.max_seg, 3, cfg.D), dtype) if x0 is None else x0
+    z = _project(qp.apply_A(data, x), beq, h)
+    y = tmap(jnp.zeros_like, z)
+
+    rho_i = jnp.full((B,), scfg.rho, dtype)
+    rho_e = rho_i * scfg.rho_eq_scale
+    sigma = jnp.asarray(scfg.sigma, dtype)
+    alpha = jnp.asarray(scfg.alpha, dtype)
+
+    def one_iter(carry, _, M, Minv):
+        x, z, y = carry
+        rho = _rho_tree(y, rho_e_cur, rho_i_cur)
+        rhs_tree = tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho)
+        rhs = (sigma * x + qp.apply_AT(data, rhs_tree)).reshape(B, n)
+        xt = jnp.einsum('bnm,bm->bn', Minv, rhs)
+        # one step of iterative refinement: in float32 the explicit inverse of
+        # the (cond ~ 1e4) normal matrix is only ~1e-2 accurate, which stalls
+        # ADMM at that level; refinement restores an accurate x-update.
+        resid = rhs - jnp.einsum('bnm,bm->bn', M, xt)
+        xt = (xt + jnp.einsum('bnm,bm->bn', Minv, resid)).reshape(x.shape)
+        zt = qp.apply_A(data, xt)
+        x_new = alpha * xt + (1.0 - alpha) * x
+        v = tmap(lambda zz, zt_, yy, rr: alpha * zt_ + (1.0 - alpha) * zz + yy / rr,
+                 z, zt, y, rho)
+        z_new = _project(v, beq, h)
+        y_new = tmap(lambda vv, zz, rr: (vv - zz) * rr, v, z_new, rho)
+        return (x_new, z_new, y_new), None
+
+    for _ in range(scfg.n_chunks):
+        rho_e_cur, rho_i_cur = rho_e, rho_i
+        M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)
+        Minv = jnp.linalg.inv(M)
+        (x, z, y), _ = jax.lax.scan(
+            lambda c, s: one_iter(c, s, M, Minv), (x, z, y), None,
+            length=scfg.iters_per_chunk)
+        pri, pri_rel, dua, dua_rel = _residuals(data, x, z, y, beq, h)
+        ratio = jnp.sqrt((pri / jnp.maximum(pri_rel, 1e-12))
+                         / jnp.maximum(dua / jnp.maximum(dua_rel, 1e-12), 1e-12))
+        # primal accuracy is what polish needs (duals of degenerate/redundant
+        # sampled rows converge slowly and polish re-derives them), so bias
+        # the adaptation upward and never drop below the well-scaled default
+        factor = jnp.clip(ratio, 0.5, 5.0)
+        # upper clip keeps rho_eq = rho * rho_eq_scale inside float32's
+        # comfortable conditioning range
+        rho_i = jnp.clip(rho_i * factor, 0.25 * scfg.rho, 100.0)
+        rho_e = rho_i * scfg.rho_eq_scale
+
+    pri, _, dua, _ = _residuals(data, x, z, y, beq, h)
+    return x, z, y, rho_e, rho_i, pri, dua
+
+
+# ---------------------------------------------------------------------------
+# polish: active-set KKT refinement
+# ---------------------------------------------------------------------------
+
+def _dense_P_explicit(data: QPData) -> jax.Array:
+    """(B, n, n) dense scaled Hessian (block-diag; small)."""
+    cfg = data.cfg
+    from allocnet_tpu.ops.qp import _consts  # constant tensors
+    *_, Qhat = _consts(cfg, data.times.dtype)
+    D, S = cfg.D, cfg.max_seg
+    eyeD = jnp.eye(D, dtype=data.times.dtype)
+    Pblk = (data.w_obj[:, :, None, None] * Qhat
+            + (1.0 - data.seg_mask)[:, :, None, None] * eyeD)    # (B,S,D,D)
+    B = Pblk.shape[0]
+    n = cfg.n_var
+    P = jnp.zeros((B, n, n), data.times.dtype)
+    for i in range(S):
+        for j in range(3):
+            sl = slice((i * 3 + j) * D, (i * 3 + j + 1) * D)
+            P = P.at[:, sl, sl].set(Pblk[:, i])
+    return P
+
+
+def _gather_ineq_rows(data: QPData, idx: jax.Array):
+    """Materialize inequality rows for flat indices idx (B, K).
+
+    Flat layout: corr (S, R, F) then box (S, R, 3, 4) with
+    box slot t in {+vel, +acc, -vel, -acc}.
+    Returns rows (B, K, n) and rhs (B, K).
+    """
+    cfg = data.cfg
+    from allocnet_tpu.ops.qp import _consts
+    B0, B1, B2, *_ = _consts(cfg, data.times.dtype)
+    S, R, F, D = cfg.max_seg, cfg.res, cfg.max_faces, cfg.D
+    n = cfg.n_var
+    B, K = idx.shape
+
+    n_corr = S * R * F
+    is_corr = idx < n_corr
+
+    ci = jnp.where(is_corr, idx, 0)
+    c_i, c_s, c_f = ci // (R * F), (ci // F) % R, ci % F
+    bi = jnp.where(is_corr, 0, idx - n_corr)
+    b_i, b_s = bi // (R * 3 * 4), (bi // 12) % R
+    b_j, b_t = (bi // 4) % 3, bi % 4
+
+    batch = jnp.arange(B)[:, None]
+    a = data.normals[batch, c_i, c_f]            # (B, K, 3)
+    corr_rows = jnp.einsum('bkj,bkd->bkjd', a, B0[c_s])        # (B,K,3,D)
+    corr_full = jnp.zeros((B, K, S, 3, D), data.times.dtype)
+    corr_full = corr_full.at[batch, jnp.arange(K)[None, :], c_i].set(corr_rows)
+
+    sign = jnp.where(b_t >= 2, -1.0, 1.0).astype(data.times.dtype)
+    vb = jnp.where((b_t % 2 == 0)[..., None], B1[b_s], B2[b_s])  # (B,K,D)
+    seg_act = data.seg_mask[batch, b_i]
+    vb = vb * sign[..., None] * seg_act[..., None]
+    box_full = jnp.zeros((B, K, S, 3, D), data.times.dtype)
+    box_full = box_full.at[batch, jnp.arange(K)[None, :], b_i, b_j].set(vb)
+
+    rows = jnp.where(is_corr[..., None], corr_full.reshape(B, K, n),
+                     box_full.reshape(B, K, n))
+
+    h_corr_flat = data.h_corr.reshape(B, -1)
+    h_box_flat = jnp.broadcast_to(
+        data.h_box, (B, S, R, 3, 4)).reshape(B, -1)
+    h_flat = jnp.concatenate([h_corr_flat, h_box_flat], axis=1)
+    rhs = jnp.take_along_axis(h_flat, idx, axis=1)
+    return rows, rhs
+
+
+def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
+    """Active-set KKT solve with regularization + iterative refinement.
+
+    Returns (x_pol, nu_pol, lam_full_pol, ok) where ok marks scenarios whose
+    polished KKT residual beats the ADMM iterate's.
+    """
+    cfg = data.cfg
+    dtype = x.dtype
+    B = x.shape[0]
+    n = cfg.n_var
+    K = scfg.max_active
+
+    Aeq, beq = qp.dense_eq(data)
+    m_eq = Aeq.shape[1]
+
+    ax_flat = qp.tree_flat(qp.apply_A(data, x), EQ_KEYS + INEQ_KEYS)[:, m_eq:]
+    slack = h_flat - ax_flat
+    scale = jnp.maximum(jnp.max(jnp.abs(lam_flat), axis=1, keepdims=True), 1.0)
+    score = lam_flat / scale - jnp.maximum(slack, 0.0)
+    _, idx = jax.lax.top_k(score, K)
+    active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-5 * scale) | (
+        jnp.take_along_axis(slack, idx, axis=1) < 1e-6)
+
+    G_act, h_act = _gather_ineq_rows(data, idx)
+    G_act = G_act * active[..., None]
+    h_act = h_act * active
+
+    P = _dense_P_explicit(data)
+    # in float32 the regularization must sit above roundoff; refinement
+    # corrects the delta perturbation afterwards
+    dmin = 1e-5 if dtype == jnp.float32 else 0.0
+    delta = jnp.asarray(max(scfg.polish_delta, dmin), dtype)
+    m = m_eq + K
+    kdim = n + m
+
+    A_full = jnp.concatenate([Aeq, G_act], axis=1)           # (B, m, n)
+    Kmat = jnp.zeros((B, kdim, kdim), dtype)
+    Kmat = Kmat.at[:, :n, :n].set(P + delta * jnp.eye(n, dtype=dtype))
+    Kmat = Kmat.at[:, :n, n:].set(jnp.swapaxes(A_full, 1, 2))
+    Kmat = Kmat.at[:, n:, :n].set(A_full)
+    Kmat = Kmat.at[:, n:, n:].set(-delta * jnp.eye(m, dtype=dtype))
+
+    rhs = jnp.concatenate(
+        [jnp.zeros((B, n), dtype), beq, h_act], axis=1)
+
+    lu, piv = jax.scipy.linalg.lu_factor(Kmat)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    def kkt_residual(sol):
+        xx, mults = sol[:, :n], sol[:, n:]
+        r1 = jnp.einsum('bnm,bm->bn', P, xx) + jnp.einsum('bmn,bm->bn', A_full, mults)
+        r2 = jnp.einsum('bmn,bn->bm', A_full, xx) - jnp.concatenate([beq, h_act], axis=1)
+        return jnp.concatenate([r1, r2], axis=1)
+
+    for _ in range(scfg.polish_refine_steps):
+        r = kkt_residual(sol)
+        sol = sol - jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    x_pol = sol[:, :n].reshape(x.shape)
+    nu_pol = sol[:, n:n + m_eq]
+    lam_act = sol[:, n + m_eq:] * active
+    lam_full = jnp.zeros_like(lam_flat)
+    lam_full = jax.vmap(lambda l, i, v: l.at[i].set(v))(lam_full, idx, lam_act)
+
+    return x_pol, nu_pol, lam_full, idx
+
+
+def _full_residuals(data: QPData, x, nu, lam_flat, beq, h_flat):
+    """Primal/dual residual of a candidate (x, nu, lam) against the full
+    constraint set (lam as flat ineq duals, nu as eq duals)."""
+    cfg = data.cfg
+    B = x.shape[0]
+    ax = qp.tree_flat(qp.apply_A(data, x), EQ_KEYS + INEQ_KEYS)
+    m_eq = beq.shape[1]
+    pri_eq = jnp.max(jnp.abs(ax[:, :m_eq] - beq), axis=1)
+    pri_in = jnp.max(jnp.maximum(ax[:, m_eq:] - h_flat, 0.0), axis=1)
+    pri = jnp.maximum(pri_eq, pri_in)
+
+    y_flat = jnp.concatenate([nu, lam_flat], axis=1)
+    y_tree = unflatten_duals(data, y_flat)
+    px = qp.apply_P(data, x)
+    aty = qp.apply_AT(data, y_tree)
+    dua = jnp.max(jnp.abs((px + aty).reshape(B, -1)), axis=1)
+    return pri, dua
+
+
+def unflatten_duals(data: QPData, y_flat: jax.Array) -> dict:
+    cfg = data.cfg
+    B = y_flat.shape[0]
+    S, R, F, o = cfg.max_seg, cfg.res, cfg.max_faces, cfg.order
+    sizes = {
+        'start': (3, 3), 'end': (3, 3), 'junc': (S - 1, 3, o),
+        'corr': (S, R, F), 'box': (S, R, 3, 4),
+    }
+    import numpy as _np
+    out, off = {}, 0
+    for k in EQ_KEYS + INEQ_KEYS:
+        sz = int(_np.prod(sizes[k]))
+        out[k] = y_flat[:, off:off + sz].reshape((B,) + sizes[k])
+        off += sz
+    return out
+
+
+def solve_qp(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None) -> QPSolution:
+    """Full batched solve: ADMM + optional polish + status.
+
+    All matmuls/einsums are pinned to full float32 precision: the TPU MXU's
+    default (bfloat16 passes) destroys an iterative solver's convergence.
+    """
+    with jax.default_matmul_precision('float32'):
+        return _solve_qp_impl(data, scfg, x0)
+
+
+def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
+    cfg = data.cfg
+    B = data.times.shape[0]
+
+    x, z, y, rho_e, rho_i, pri_admm, dua_admm = admm_solve(data, scfg, x0)
+
+    beq = qp.tree_flat(qp.eq_rhs(data), EQ_KEYS)
+    h_flat = qp.tree_flat(qp.ineq_rhs(data), INEQ_KEYS)
+    y_eq = qp.tree_flat({k: y[k] for k in EQ_KEYS}, EQ_KEYS)
+    lam_flat = jnp.maximum(qp.tree_flat({k: y[k] for k in INEQ_KEYS}, INEQ_KEYS), 0.0)
+
+    pri_a, dua_a = _full_residuals(data, x, y_eq, lam_flat, beq, h_flat)
+    nu, lam = y_eq, lam_flat
+    polished = jnp.zeros((B,), bool)
+
+    if scfg.polish:
+        for _ in range(scfg.polish_rounds):
+            x_p, nu_p, lam_p, _ = polish(data, scfg, x, y, beq, h_flat, lam)
+            lam_p = jnp.maximum(lam_p, 0.0)
+            pri_p, dua_p = _full_residuals(data, x_p, nu_p, lam_p, beq, h_flat)
+            finite = jnp.all(jnp.isfinite(x_p.reshape(B, -1)), axis=1)
+            better = finite & (jnp.maximum(pri_p, dua_p) < jnp.maximum(pri_a, dua_a))
+            pick = lambda a, b: jnp.where(
+                better.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            x = pick(x_p, x)
+            nu = pick(nu_p, nu)
+            lam = pick(lam_p, lam)
+            pri_a = jnp.where(better, pri_p, pri_a)
+            dua_a = jnp.where(better, dua_p, dua_a)
+            polished = polished | better
+
+    coeffs = qp.unscale_coeffs(data, x)
+    obj = qp.objective(data, x)
+    # reference sanity window: reject obj > 5000 or < -0.01 (qp_solver.hpp:340-345)
+    solved = (
+        (pri_a < scfg.eps_abs * 10) & (dua_a < scfg.eps_abs * 10)
+        & (obj < 5000.0) & (obj > -0.01)
+    )
+    lam_tree = unflatten_duals(data, jnp.concatenate([nu * 0, lam], axis=1))
+    lam_tree = {k: lam_tree[k] for k in INEQ_KEYS}
+
+    return QPSolution(
+        x=x, coeffs=coeffs, obj=obj, nu=nu, lam=lam_tree,
+        pri_res=pri_a, dua_res=dua_a, solved=solved, polished=polished,
+    )

@@ -1,0 +1,55 @@
+"""Headline benchmark: batched corridor-constrained min-snap solves/s/chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.md): >= 1000 solves/s/chip at OSQP-parity accuracy.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allocnet_tpu.config import QPConfig, SolverConfig
+from allocnet_tpu.ops import admm, qp
+from allocnet_tpu.utils import scenarios
+
+
+def main():
+    cfg = QPConfig()          # deployment operating point: min-snap, res=20
+    scfg = SolverConfig()
+    B = 1024
+
+    sc = scenarios.random_scenarios(cfg, B, seed=123, min_seg=1)
+    args = [
+        jnp.asarray(sc.state, jnp.float32),
+        jnp.asarray(sc.hpolys, jnp.float32),
+        jnp.asarray(sc.times, jnp.float32),
+        jnp.asarray(sc.seg),
+    ]
+
+    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+        qp.build_qp(cfg, st, hp, tm, sg), scfg))
+
+    sol = solve(*args)
+    float(np.asarray(sol.obj).sum())  # warm-up + sync
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        sol = solve(*args)
+        float(np.asarray(sol.obj).sum())  # force full sync
+    dt = (time.time() - t0) / reps
+
+    value = B / dt
+    print(json.dumps({
+        "metric": "minsnap_qp_solves_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(value / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
