@@ -115,13 +115,18 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
         # the (cond ~ 1e4) normal matrix is only ~1e-2 accurate, which stalls
         # ADMM at that level; refinement restores an accurate x-update.
         resid = rhs - jnp.einsum('bnm,bm->bn', M, xt)
-        xt = (xt + jnp.einsum('bnm,bm->bn', Minv, resid)).reshape(x.shape)
+        xt = xt + jnp.einsum('bnm,bm->bn', Minv, resid)
+        # infeasible scenarios make the iterates diverge; clip so float32
+        # never reaches inf (convergent scenarios sit orders below the bound
+        # and are untouched — the unsolved flag handles the divergent ones)
+        xt = jnp.clip(xt, -1e6, 1e6).reshape(x.shape)
         zt = qp.apply_A(data, xt)
         x_new = alpha * xt + (1.0 - alpha) * x
         v = tmap(lambda zz, zt_, yy, rr: alpha * zt_ + (1.0 - alpha) * zz + yy / rr,
                  z, zt, y, rho)
         z_new = _project(v, beq, h)
-        y_new = tmap(lambda vv, zz, rr: (vv - zz) * rr, v, z_new, rho)
+        y_new = tmap(lambda vv, zz, rr: jnp.clip((vv - zz) * rr, -1e6, 1e6),
+                     v, z_new, rho)
         return (x_new, z_new, y_new), None
 
     for _ in range(scfg.n_chunks):

@@ -1,0 +1,73 @@
+"""HDF5 dataset roundtrip, loader sharding, trainer checkpoint/resume."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from allocnet_tpu.config import (AllocNetConfig, ModelConfig, QPConfig,
+                                 SolverConfig, TrainConfig)
+from allocnet_tpu.models.networks import ConvLSTMAllocNet
+from allocnet_tpu.train import dataset as ds_lib
+from allocnet_tpu.train import trainer as trainer_lib
+from allocnet_tpu.utils import scenarios
+
+CFG = QPConfig(order=4, res=10)
+
+
+def test_h5_roundtrip(tmp_path):
+    sc = scenarios.random_scenarios(CFG, 6, seed=51, min_seg=1)
+    path = str(tmp_path / "dataset.h5")
+    ds_lib.write_h5(path, sc)
+    back = ds_lib.read_h5(path, CFG)
+    np.testing.assert_allclose(back.state, sc.state, atol=1e-12)
+    np.testing.assert_allclose(back.hpolys, sc.hpolys, atol=1e-12)
+    np.testing.assert_allclose(back.times, sc.times, atol=1e-12)
+    np.testing.assert_array_equal(back.seg, sc.seg)
+
+
+def test_loader_split_and_host_sharding():
+    sc = scenarios.random_scenarios(CFG, 40, seed=53, min_seg=1)
+    l0 = ds_lib.Loader(sc, batch_size=4, train_ratio=0.9, seed=0,
+                       num_hosts=2, host_id=0)
+    l1 = ds_lib.Loader(sc, batch_size=4, train_ratio=0.9, seed=0,
+                       num_hosts=2, host_id=1)
+    def starts(loader):
+        out = []
+        for b in loader.epoch(0):
+            out.extend(map(tuple, np.round(b.state[:, 0, :, 0], 6).tolist()))
+        return out
+
+    s0, s1 = starts(l0), starts(l1)
+    assert len(s0) == len(s1) > 0
+    # same split, disjoint per-host stripes of the shuffled epoch
+    assert set(l0.train_idx.tolist()) == set(l1.train_idx.tolist())
+    assert not (set(s0) & set(s1))
+
+
+def test_trainer_epoch_checkpoint_resume(tmp_path):
+    cfg = AllocNetConfig(
+        qp=QPConfig(order=4, res=5),
+        solver=SolverConfig(n_chunks=1, iters_per_chunk=30),
+        train=TrainConfig(batch_size=4, max_epochs=1, save_freq=1),
+        model=ModelConfig(hidden_size=16),
+    )
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=16, token_thresh=0.42)
+    sc = scenarios.random_scenarios(cfg.qp, 12, seed=55, min_seg=1)
+    loader = ds_lib.Loader(sc, batch_size=4, train_ratio=0.75, seed=0)
+
+    wd = str(tmp_path / "run")
+    tr = trainer_lib.Trainer(cfg, net, loader, wd)
+    ts = tr.train(max_epochs=1)
+    assert int(ts.step) > 0
+    assert os.path.exists(tr.log_path)
+    ck = trainer_lib.latest_checkpoint(tr.ckpt_dir)
+    assert ck is not None
+
+    # resume: a fresh Trainer picks up the checkpoint and the step counter
+    tr2 = trainer_lib.Trainer(cfg, net, loader, wd)
+    assert int(tr2.ts.step) == int(ts.step)
+    assert tr2.start_epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(tr2.ts.params['params']['tf_w']),
+        np.asarray(ts.params['params']['tf_w']))
