@@ -1,0 +1,121 @@
+"""Full planner: map + goal -> corridor -> learned times -> QP -> trajectory.
+
+The application layer of the framework — equivalent of LearningPlanner
+(learning_planner.hpp:243-306) + the PlannerServer plan() flow
+(learning_planning.cpp:143-188), headless (no ROS): maps are point clouds,
+outputs are Trajectory batches + artifact dumps (viz/artifacts.py).
+
+Host does route search and corridor bookkeeping; the TPU does voxel dilation,
+all FIRI windows, all overlap LPs, the network, and the QP — batched across
+as many plan requests as you hand it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.ops import voxel
+from allocnet_tpu.planner import pipeline, rrt, sfc, trajectory
+
+
+class PlannerMap(NamedTuple):
+    grid: voxel.VoxelGrid
+    surf: np.ndarray       # (N, 3) dilated-surface points (host copy)
+    lo: np.ndarray
+    hi: np.ndarray
+
+
+def build_map(points: np.ndarray, lo, hi, scale: float = 0.25,
+              dilate_r: int = 2) -> PlannerMap:
+    """Point cloud -> dilated voxel map + surface cloud (the map callback,
+    learning_planning.cpp:115-141)."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    size = tuple(int(np.ceil((hi[j] - lo[j]) / scale)) for j in range(3))
+    grid = voxel.make_grid(jnp.asarray(points, jnp.float32), lo, size, scale,
+                           dilate_r)
+    surf = voxel.surf_points_host(grid)
+    return PlannerMap(grid=grid, surf=surf, lo=lo, hi=hi)
+
+
+class CorridorPlan(NamedTuple):
+    route: np.ndarray            # (K, 3)
+    hpolys: np.ndarray           # (S, F, 4) normalized, padded
+    seg: int
+    ok: bool
+    reason: str
+
+
+def plan_corridor(pmap: PlannerMap, start: np.ndarray, goal: np.ndarray,
+                  cfg: AllocNetConfig, seed: int = 0) -> CorridorPlan:
+    """Route + corridor for one (start, goal); failure taxonomy mirrors the
+    reference (path-not-found learning_planner.hpp:259-262, long-corridor
+    :287-291)."""
+    ccfg = cfg.corridor
+    route = rrt.plan(start, goal, pmap.surf, pmap.lo, pmap.hi,
+                     safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
+                     max_iter=ccfg.rrt_max_iter, goal_bias=ccfg.rrt_goal_bias,
+                     seed=seed)
+    empty = np.zeros((cfg.qp.max_seg, cfg.qp.max_faces, 4))
+    if route is None:
+        return CorridorPlan(np.zeros((0, 3)), empty, 0, False, "no_path")
+    route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
+
+    polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi, ccfg)
+    polys = sfc.short_cut(polys)
+    if len(polys) > cfg.qp.max_seg:
+        return CorridorPlan(route, empty, len(polys), False, "long_corridor")
+    polys = sfc.normalize_polys(polys)
+    hp, seg = sfc.to_padded(polys, cfg.qp)
+    return CorridorPlan(route, hp, seg, True, "ok")
+
+
+class PlanOutput(NamedTuple):
+    result: pipeline.PlanResult
+    traj: trajectory.Trajectory
+    corridor_ok: np.ndarray      # (B,) bool
+    reasons: list
+
+
+def plan_many(
+    pmap: PlannerMap,
+    starts: np.ndarray,          # (B, 3) rest-to-rest start positions
+    goals: np.ndarray,           # (B, 3)
+    net, params, cfg: AllocNetConfig,
+    seed: int = 0,
+) -> PlanOutput:
+    """Batch of full plans: corridors on host+TPU, then ONE batched
+    net+QP solve for every successful corridor."""
+    B = len(starts)
+    S, F = cfg.qp.max_seg, cfg.qp.max_faces
+    hp = np.zeros((B, S, F, 4))
+    segs = np.zeros((B,), np.int32)
+    oks = np.zeros((B,), bool)
+    reasons = []
+    state = np.zeros((B, 2, 3, 3))
+    for b in range(B):
+        cp = plan_corridor(pmap, starts[b], goals[b], cfg, seed=seed + b)
+        reasons.append(cp.reason)
+        oks[b] = cp.ok
+        if cp.ok:
+            hp[b] = cp.hpolys
+            segs[b] = cp.seg
+            state[b, 0, :, 0] = starts[b]
+            # goal snapped to the end of the found route (plan(),
+            # learning_planner.hpp:264 finState = route.back())
+            state[b, 1, :, 0] = cp.route[-1]
+        else:
+            segs[b] = 1
+            hp[b, 0, 0] = [1.0, 0.0, 0.0, 1e3]
+
+    res = pipeline.plan_batch(
+        net, params, cfg.qp, cfg.solver,
+        jnp.asarray(state, jnp.float32), jnp.asarray(hp, jnp.float32),
+        jnp.asarray(segs))
+    traj = trajectory.from_solution(res.coeffs, res.times, jnp.asarray(segs))
+    return PlanOutput(result=res, traj=traj, corridor_ok=oks, reasons=reasons)

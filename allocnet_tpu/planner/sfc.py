@@ -1,0 +1,189 @@
+"""Safe-flight-corridor pipeline: route -> windows -> batched FIRI ->
+shortcut -> padded corridor tensors.
+
+Equivalent of sfc_gen::convexCover + shortCut (sfc_gen.hpp:116-227) and the
+planner's normalization (learning_planner.hpp:293-299), re-organized for TPU:
+the route walk happens on host (tiny, data-dependent), but ALL FIRI windows
+of a plan run as ONE batched call, gap polytopes as a second batch, and the
+shortcut's O(M^2) overlap LPs as a single batched LP — the reference runs
+every one of these serially.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from allocnet_tpu.config import CorridorConfig, QPConfig
+from allocnet_tpu.ops import firi as firi_lib
+from allocnet_tpu.ops import lp
+
+
+def walk_route(route: np.ndarray, progress: float) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split a waypoint path into (a, b) windows of at most `progress`
+    length (sfc_gen.hpp:140-151)."""
+    windows = []
+    b = route[0]
+    i = 1
+    n = len(route)
+    while i < n:
+        a = b
+        if np.linalg.norm(a - route[i]) > progress:
+            b = (route[i] - a) / np.linalg.norm(route[i] - a) * progress + a
+        else:
+            b = route[i]
+            i += 1
+        windows.append((a.copy(), b.copy()))
+    return windows
+
+
+def window_bounds(a, b, rng, lo, hi) -> np.ndarray:
+    """Axis-aligned crop box rows a.x <= b (sfc_gen.hpp:153-158)."""
+    hi_b = np.minimum(np.maximum(a, b) + rng, hi)
+    lo_b = np.maximum(np.minimum(a, b) - rng, lo)
+    rows = []
+    for j in range(3):
+        e = np.zeros(3); e[j] = 1.0
+        rows.append(np.concatenate([e, [hi_b[j]]]))
+        rows.append(np.concatenate([-e, [-lo_b[j]]]))
+    return np.asarray(rows)
+
+
+def _crop(points: np.ndarray, bd: np.ndarray, n_max: int):
+    """Points strictly inside the crop box, padded to n_max."""
+    if len(points) == 0:
+        sel = points.reshape(0, 3)
+    else:
+        inside = np.max(points @ bd[:, :3].T - bd[:, 3], axis=1) < 0.0
+        sel = points[inside][:n_max]
+    out = np.full((n_max, 3), 1e9)
+    out[:len(sel)] = sel
+    mask = np.zeros(n_max)
+    mask[:len(sel)] = 1.0
+    return out, mask
+
+
+def convex_cover(
+    route: np.ndarray,
+    points: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    ccfg: CorridorConfig = CorridorConfig(),
+    n_points: int = 2048,
+    n_planes: int = 50,
+    eps: float = 1e-6,
+) -> list[np.ndarray]:
+    """Route + obstacle surface points -> list of (F_i, 4) polytopes
+    (a.x <= b rows).  One batched FIRI call over all windows."""
+    windows = walk_route(route, ccfg.progress)
+    B = len(windows)
+    bds = np.zeros((B, 6, 4))
+    pcs = np.zeros((B, n_points, 3))
+    masks = np.zeros((B, n_points))
+    for k, (a, b) in enumerate(windows):
+        bds[k] = window_bounds(a, b, ccfg.range_xy, lo, hi)
+        pcs[k], masks[k] = _crop(points, bds[k], n_points)
+
+    seeds_a = np.asarray([w[0] for w in windows])
+    seeds_b = np.asarray([w[1] for w in windows])
+
+    res = firi_lib.firi(jnp.asarray(bds), jnp.asarray(pcs), jnp.asarray(masks),
+                        jnp.asarray(seeds_a), jnp.asarray(seeds_b),
+                        iterations=ccfg.firi_iters, n_planes=n_planes, eps=eps)
+    hp = np.asarray(res.hpolys)
+    mk = np.asarray(res.mask)
+
+    # gap polytopes (sfc_gen.hpp:173-182): when the window start `a` is cut
+    # off by the pair of adjacent polytopes, inflate a point-seeded polytope.
+    polys: list[np.ndarray] = []
+    gap_idx: list[int] = []
+    for k in range(B):
+        rows = hp[k][mk[k] > 0]
+        if polys:
+            a = seeds_a[k]
+            prev = polys[-1]
+            viol = int(np.sum(rows[:, :3] @ a - rows[:, 3] > -eps))
+            viol += int(np.sum(prev[:, :3] @ a - prev[:, 3] > -eps))
+            if viol >= 3:
+                gap_idx.append(k)
+                polys.append(None)  # placeholder for the gap polytope
+        polys.append(rows)
+
+    if gap_idx:
+        res_g = firi_lib.firi(
+            jnp.asarray(bds[gap_idx]), jnp.asarray(pcs[gap_idx]),
+            jnp.asarray(masks[gap_idx]), jnp.asarray(seeds_a[gap_idx]),
+            jnp.asarray(seeds_a[gap_idx]), iterations=1,
+            n_planes=n_planes, eps=eps)
+        hg = np.asarray(res_g.hpolys)
+        mg = np.asarray(res_g.mask)
+        gi = 0
+        for i, p in enumerate(polys):
+            if p is None:
+                polys[i] = hg[gi][mg[gi] > 0]
+                gi += 1
+
+    return polys
+
+
+def short_cut(polys: list[np.ndarray]) -> list[np.ndarray]:
+    """Greedy corridor pruning (sfc_gen.hpp:188-227), with ALL pairwise
+    overlap LPs solved in one batch.  Preserves the reference quirk of
+    duplicating a lone polytope to force >= 2 segments (sfc_gen.hpp:191-195)."""
+    htemp = list(polys)
+    if len(htemp) == 1:
+        htemp = [htemp[0]] + htemp
+    M = len(htemp)
+
+    Fm = max(p.shape[0] for p in htemp)
+    padded = np.zeros((M, Fm, 4))
+    mask = np.zeros((M, Fm))
+    for i, p in enumerate(htemp):
+        padded[i, :p.shape[0]] = p
+        mask[i, :p.shape[0]] = 1.0
+
+    ii, jj = np.triu_indices(M, k=2)
+    if len(ii):
+        ov = np.asarray(lp.overlap(
+            jnp.asarray(padded[ii]), jnp.asarray(mask[ii]),
+            jnp.asarray(padded[jj]), jnp.asarray(mask[jj]), eps=0.1))
+        omat = np.zeros((M, M), bool)
+        omat[ii, jj] = ov
+        omat[jj, ii] = ov
+    else:
+        omat = np.zeros((M, M), bool)
+    for i in range(M - 1):
+        omat[i, i + 1] = omat[i + 1, i] = True   # adjacent always "overlap"
+
+    indices = [M - 1]
+    i = M - 1
+    while i > 0:
+        for j in range(i):
+            if omat[i, j] or j == i - 1:
+                indices.insert(0, j)
+                i = j
+                break
+    # ensure termination at 0 (loop above always reaches j < i)
+    return [htemp[k] for k in indices]
+
+
+def normalize_polys(polys: list[np.ndarray]) -> list[np.ndarray]:
+    """Unit normals (learning_planner.hpp:293-299; rows already a.x <= b)."""
+    out = []
+    for p in polys:
+        n = np.linalg.norm(p[:, :3], axis=1, keepdims=True)
+        out.append(p / np.maximum(n, 1e-12))
+    return out
+
+
+def to_padded(polys: list[np.ndarray], cfg: QPConfig) -> tuple[np.ndarray, int]:
+    """Corridor list -> zero-padded (S, F, 4) + segment count (clipped to S;
+    callers should reject seg > max_seg as the planner does,
+    learning_planner.hpp:287-291)."""
+    S, F = cfg.max_seg, cfg.max_faces
+    out = np.zeros((S, F, 4))
+    seg = min(len(polys), S)
+    for i in range(seg):
+        p = polys[i][:F]
+        out[i, :p.shape[0]] = p
+    return out, seg

@@ -1,0 +1,106 @@
+"""Front-end + full-planner integration tests on a synthetic obstacle map."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from allocnet_tpu.config import AllocNetConfig, QPConfig, SolverConfig
+from allocnet_tpu.planner import planner as planner_lib
+from allocnet_tpu.planner import rrt, sfc
+
+
+def _obstacle_map(seed=0):
+    """A few pillar obstacles in a 20x20x4 box."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for _ in range(6):
+        c = rng.uniform([3, 3, 0], [17, 17, 0], size=3)
+        z = np.linspace(0, 4, 24)
+        for zz in z:
+            ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+            ring = np.stack([c[0] + 0.3 * np.cos(ang),
+                             c[1] + 0.3 * np.sin(ang),
+                             np.full(10, zz)], axis=1)
+            pts.append(ring)
+    return np.concatenate(pts)
+
+
+def test_rrt_finds_path_and_simplifies():
+    pts = _obstacle_map()
+    lo, hi = np.array([0., 0., 0.]), np.array([20., 20., 4.])
+    start, goal = np.array([1., 1., 1.5]), np.array([19., 19., 2.0])
+    path = rrt.plan(start, goal, pts, lo, hi, safe_dis=0.5, seed=3)
+    assert path is not None
+    np.testing.assert_allclose(path[0], start)
+    np.testing.assert_allclose(path[-1], goal)
+    short = rrt.simplify(path, pts, 0.5)
+    assert len(short) <= len(path)
+    from scipy.spatial import KDTree
+    tree = KDTree(pts)
+    for a, b in zip(short[:-1], short[1:]):
+        seg = a[None] + np.linspace(0, 1, 20)[:, None] * (b - a)[None]
+        assert tree.query(seg)[0].min() >= 0.45
+
+
+def test_rrt_blocked_start():
+    pts = _obstacle_map()
+    lo, hi = np.array([0., 0., 0.]), np.array([20., 20., 4.])
+    inside = pts[0] + np.array([0.05, 0.0, 0.0])
+    assert rrt.plan(inside, np.array([19., 19., 2.]), pts, lo, hi) is None
+
+
+def test_convex_cover_and_shortcut():
+    pts = _obstacle_map()
+    lo, hi = np.array([0., 0., 0.]), np.array([20., 20., 4.])
+    start, goal = np.array([1., 1., 1.5]), np.array([19., 19., 2.0])
+    path = rrt.plan(start, goal, pts, lo, hi, safe_dis=0.5, seed=3)
+    path = rrt.simplify(path, pts, 0.5)
+
+    polys = sfc.convex_cover(path, pts, lo, hi)
+    assert len(polys) >= 1
+    # each window's seed endpoints inside its polytope; obstacles excluded
+    windows = sfc.walk_route(path, 3.0)
+    from scipy.spatial import KDTree
+    tree = KDTree(pts)
+    polys_n = sfc.normalize_polys(polys)
+
+    cut = sfc.short_cut(polys)
+    assert 1 <= len(cut) <= len(polys) + 1
+    # consecutive polytopes in the shortcut corridor overlap
+    from allocnet_tpu.ops import lp
+    for pa, pb in zip(cut[:-1], cut[1:]):
+        Fm = max(pa.shape[0], pb.shape[0])
+        A = np.zeros((1, Fm, 4)); A[0, :pa.shape[0]] = pa
+        Ma = np.zeros((1, Fm)); Ma[0, :pa.shape[0]] = 1
+        Bp = np.zeros((1, Fm, 4)); Bp[0, :pb.shape[0]] = pb
+        Mb = np.zeros((1, Fm)); Mb[0, :pb.shape[0]] = 1
+        assert bool(lp.overlap(jnp.asarray(A), jnp.asarray(Ma),
+                               jnp.asarray(Bp), jnp.asarray(Mb), eps=0.01)[0])
+
+
+def test_plan_many_end_to_end():
+    """Map -> corridors -> imported deployed network -> QP -> trajectories."""
+    from allocnet_tpu.models import import_torch
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+
+    pts = _obstacle_map(seed=1)
+    cfg = AllocNetConfig(qp=QPConfig(res=10),
+                         solver=SolverConfig(n_chunks=2, iters_per_chunk=75))
+    pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
+                                 dilate_r=2)
+    assert pmap.surf.shape[0] > 100
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
+    params = import_torch.load_torchscript_lstm(
+        "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt")
+    params = jax.tree.map(jnp.asarray, params)
+
+    starts = np.array([[1.0, 1.0, 1.5], [2.0, 18.0, 1.0]])
+    goals = np.array([[18.0, 18.0, 2.0], [18.0, 2.0, 2.0]])
+    out = planner_lib.plan_many(pmap, starts, goals, net, params, cfg)
+
+    assert out.corridor_ok.any(), out.reasons
+    # for corridor-successful plans the QP ran; trajectory shapes sane
+    assert np.asarray(out.traj.coeffs).shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(out.traj.coeffs)))
