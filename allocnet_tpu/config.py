@@ -104,7 +104,9 @@ class SolverConfig:
     # Multiple rounds re-detect the active set from the polished point, which
     # rescues scenarios whose ADMM duals were still noisy.
     polish: bool = True
-    polish_rounds: int = 2
+    # one round suffices for ~96% of random corridor scenarios; a second
+    # round rescues ~1% more at ~27% throughput cost (set 2 for max recall)
+    polish_rounds: int = 1
     # max active inequality rows kept in the polish KKT (padded, static shape).
     max_active: int = 144
     polish_delta: float = 1e-7

@@ -1,0 +1,100 @@
+"""Scenario/dataset generation: maps -> corridors -> HDF5.
+
+The counterpart of the reference's offline pipeline (pcd_segmentation.py +
+corridor_generator.py + rrt3D.py -> dataset.h5; the writer itself is absent
+from the reference repo, SURVEY.md section 3.3).  Works on any point-cloud
+map source: real clouds (e.g. M3ED crops) via `points`, or the built-in
+random-pillar maps for self-contained generation.
+
+Reference segment times (the supervised targets `traj_times`) use the
+feasibility-aware quintic bound over the corridor's inner waypoints.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.ops import lp
+from allocnet_tpu.planner import planner as planner_lib
+from allocnet_tpu.train import dataset as ds_lib
+from allocnet_tpu.utils.scenarios import ScenarioBatch, quintic_time_bounds
+
+
+def random_pillar_map(seed: int, extent=(20.0, 20.0, 4.0), n_pillars=8,
+                      radius=0.3) -> np.ndarray:
+    """Synthetic obstacle cloud (stand-in for M3ED crops)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    ex = np.asarray(extent)
+    for _ in range(n_pillars):
+        c = rng.uniform([2, 2, 0], [ex[0] - 2, ex[1] - 2, 0], size=3)
+        for zz in np.linspace(0, ex[2], 24):
+            ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+            pts.append(np.stack([c[0] + radius * np.cos(ang),
+                                 c[1] + radius * np.sin(ang),
+                                 np.full(10, zz)], axis=1))
+    return np.concatenate(pts)
+
+
+def generate(
+    cfg: AllocNetConfig,
+    n_samples: int,
+    out_path: str | None = None,
+    points: np.ndarray | None = None,
+    extent=(20.0, 20.0, 4.0),
+    seed: int = 0,
+    time_slack: float = 2.2,
+) -> ScenarioBatch:
+    """Sample (start, goal) pairs on a map, build corridors, derive reference
+    times; returns the ScenarioBatch and optionally writes dataset.h5."""
+    rng = np.random.default_rng(seed)
+    lo = np.zeros(3)
+    hi = np.asarray(extent)
+    if points is None:
+        points = random_pillar_map(seed, extent)
+    pmap = planner_lib.build_map(points, lo, hi)
+
+    S, F = cfg.qp.max_seg, cfg.qp.max_faces
+    state = np.zeros((n_samples, 2, 3, 3))
+    hpolys = np.zeros((n_samples, S, F, 4))
+    times = np.zeros((n_samples, S))
+    segs = np.zeros((n_samples,), np.int32)
+
+    count, attempts = 0, 0
+    while count < n_samples and attempts < 20 * n_samples:
+        attempts += 1
+        start = rng.uniform(lo + 0.8, hi - 0.8)
+        goal = rng.uniform(lo + 0.8, hi - 0.8)
+        if np.linalg.norm(goal - start) < 0.4 * np.linalg.norm(hi - lo):
+            continue
+        cp = planner_lib.plan_corridor(pmap, start, goal, cfg,
+                                       seed=int(rng.integers(1 << 30)))
+        if not cp.ok or cp.seg < 1:
+            continue
+        state[count, 0, :, 0] = start
+        state[count, 1, :, 0] = cp.route[-1]
+        hpolys[count] = cp.hpolys
+        segs[count] = cp.seg
+        # per-segment reference times from the corridor's junction waypoints:
+        # interior points of consecutive-polytope intersections, the
+        # reference's get_inner_pts scheme (min_traj_opt.py:251-276)
+        waypts = [start]
+        for i in range(cp.seg - 1):
+            inter = np.concatenate([cp.hpolys[i], cp.hpolys[i + 1]])
+            mask = np.linalg.norm(inter[:, :3], axis=1) > 1e-6
+            pt, depth = lp.find_interior(jnp.asarray(inter)[None],
+                                         jnp.asarray(mask, float)[None])
+            waypts.append(np.asarray(pt)[0])
+        waypts.append(cp.route[-1])
+        tlb = quintic_time_bounds(np.asarray(waypts),
+                                  cfg.qp.max_vel, cfg.qp.max_acc)
+        times[count, :cp.seg] = np.maximum(tlb, 0.3) * time_slack
+        count += 1
+
+    sc = ScenarioBatch(state=state[:count], hpolys=hpolys[:count],
+                       times=times[:count], seg=segs[:count])
+    if out_path is not None:
+        ds_lib.write_h5(out_path, sc)
+    return sc

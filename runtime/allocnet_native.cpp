@@ -1,0 +1,216 @@
+// Native host runtime for allocnet_tpu: grid-collision RRT front-end.
+//
+// The reference's front-end is native C++ (OMPL InformedRRT*, sfc_gen.hpp:
+// 45-114, plus voxel_map.hpp collision queries); this is its equivalent for
+// the TPU framework: the host-side path search that feeds scenario batches
+// to the TPU corridor/QP pipeline.  Collision checks use a dilated dense
+// occupancy grid (O(1) per query) built once per map — the Python fallback
+// (allocnet_tpu/planner/rrt.py) uses a KD-tree and is ~20x slower per plan.
+//
+// C ABI (ctypes):
+//   void* grid_create(const double* pts, int n, const double* lo,
+//                     const double* hi, double scale, double safe_dis);
+//   void  grid_destroy(void* grid);
+//   int   grid_query(void* grid, const double* p);        // 1 = blocked
+//   int   rrt_plan(void* grid, const double* start, const double* goal,
+//                  double step, int max_iter, double goal_bias,
+//                  unsigned long long seed,
+//                  double* out_path, int max_pts);   // returns #waypoints
+//   int   simplify_path(void* grid, const double* path, int n,
+//                       double* out, int max_pts);
+//
+// Build: make -C runtime   (g++ -O3 -shared -fPIC)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Grid {
+    int nx, ny, nz;
+    double lo[3];
+    double hi[3];
+    double scale;
+    std::vector<uint8_t> occ;
+
+    inline bool blocked(const double* p) const {
+        for (int j = 0; j < 3; ++j)
+            if (p[j] < lo[j] || p[j] > hi[j]) return true;
+        int ix = (int)((p[0] - lo[0]) / scale);
+        int iy = (int)((p[1] - lo[1]) / scale);
+        int iz = (int)((p[2] - lo[2]) / scale);
+        if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz)
+            return true;
+        return occ[(size_t)(ix * ny + iy) * nz + iz] != 0;
+    }
+
+    inline bool edge_blocked(const double* a, const double* b) const {
+        double d[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+        double len = std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]);
+        int n = (int)(len / (0.5 * scale)) + 2;
+        double p[3];
+        for (int k = 0; k <= n; ++k) {
+            double t = (double)k / n;
+            p[0] = a[0] + t * d[0];
+            p[1] = a[1] + t * d[1];
+            p[2] = a[2] + t * d[2];
+            if (blocked(p)) return true;
+        }
+        return false;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* grid_create(const double* pts, int n, const double* lo,
+                  const double* hi, double scale, double safe_dis) {
+    Grid* g = new Grid();
+    std::memcpy(g->lo, lo, sizeof(g->lo));
+    std::memcpy(g->hi, hi, sizeof(g->hi));
+    g->scale = scale;
+    g->nx = (int)std::ceil((hi[0] - lo[0]) / scale);
+    g->ny = (int)std::ceil((hi[1] - lo[1]) / scale);
+    g->nz = (int)std::ceil((hi[2] - lo[2]) / scale);
+    if (g->nx < 1) g->nx = 1;
+    if (g->ny < 1) g->ny = 1;
+    if (g->nz < 1) g->nz = 1;
+    g->occ.assign((size_t)g->nx * g->ny * g->nz, 0);
+
+    // mark obstacle voxels
+    for (int i = 0; i < n; ++i) {
+        const double* p = pts + 3 * i;
+        int ix = (int)((p[0] - lo[0]) / scale);
+        int iy = (int)((p[1] - lo[1]) / scale);
+        int iz = (int)((p[2] - lo[2]) / scale);
+        if (ix < 0 || iy < 0 || iz < 0 || ix >= g->nx || iy >= g->ny ||
+            iz >= g->nz)
+            continue;
+        g->occ[(size_t)(ix * g->ny + iy) * g->nz + iz] = 1;
+    }
+
+    // dilate by ceil(safe_dis / scale) rounds of 26-neighbor dilation
+    // (voxel_dilater.hpp:26-53 equivalent)
+    int rounds = (int)std::ceil(safe_dis / scale);
+    std::vector<uint8_t> next(g->occ.size());
+    for (int r = 0; r < rounds; ++r) {
+        next = g->occ;
+        for (int x = 0; x < g->nx; ++x)
+            for (int y = 0; y < g->ny; ++y)
+                for (int z = 0; z < g->nz; ++z) {
+                    if (!g->occ[(size_t)(x * g->ny + y) * g->nz + z]) continue;
+                    for (int dx = -1; dx <= 1; ++dx)
+                        for (int dy = -1; dy <= 1; ++dy)
+                            for (int dz = -1; dz <= 1; ++dz) {
+                                int xx = x + dx, yy = y + dy, zz = z + dz;
+                                if (xx < 0 || yy < 0 || zz < 0 ||
+                                    xx >= g->nx || yy >= g->ny || zz >= g->nz)
+                                    continue;
+                                next[(size_t)(xx * g->ny + yy) * g->nz + zz] = 1;
+                            }
+                }
+        g->occ.swap(next);
+    }
+    return g;
+}
+
+void grid_destroy(void* grid) { delete (Grid*)grid; }
+
+int grid_query(void* grid, const double* p) {
+    return ((Grid*)grid)->blocked(p) ? 1 : 0;
+}
+
+int rrt_plan(void* grid, const double* start, const double* goal, double step,
+             int max_iter, double goal_bias, unsigned long long seed,
+             double* out_path, int max_pts) {
+    Grid* g = (Grid*)grid;
+    if (g->blocked(start) || g->blocked(goal)) return 0;
+
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+
+    std::vector<double> nodes;  // 3 * count
+    std::vector<int> parents;
+    nodes.reserve(3 * (max_iter + 2));
+    nodes.insert(nodes.end(), start, start + 3);
+    parents.push_back(-1);
+
+    double sample[3], nw[3];
+    for (int it = 0; it < max_iter; ++it) {
+        if (uni(rng) < goal_bias) {
+            std::memcpy(sample, goal, sizeof(sample));
+        } else {
+            for (int j = 0; j < 3; ++j)
+                sample[j] = g->lo[j] + uni(rng) * (g->hi[j] - g->lo[j]);
+            if (g->blocked(sample)) continue;
+        }
+        // nearest node
+        int count = (int)parents.size();
+        int best = 0;
+        double bestd = 1e300;
+        for (int k = 0; k < count; ++k) {
+            double dx = nodes[3 * k] - sample[0];
+            double dy = nodes[3 * k + 1] - sample[1];
+            double dz = nodes[3 * k + 2] - sample[2];
+            double d = dx * dx + dy * dy + dz * dz;
+            if (d < bestd) { bestd = d; best = k; }
+        }
+        double dist = std::sqrt(bestd);
+        if (dist < 1e-9) continue;
+        double t = step < dist ? step / dist : 1.0;
+        for (int j = 0; j < 3; ++j)
+            nw[j] = nodes[3 * best + j] +
+                    t * (sample[j] - nodes[3 * best + j]);
+        if (g->edge_blocked(&nodes[3 * best], nw)) continue;
+        nodes.insert(nodes.end(), nw, nw + 3);
+        parents.push_back(best);
+
+        double dgx = nw[0] - goal[0], dgy = nw[1] - goal[1],
+               dgz = nw[2] - goal[2];
+        if (std::sqrt(dgx * dgx + dgy * dgy + dgz * dgz) <= step &&
+            !g->edge_blocked(nw, goal)) {
+            // backtrack
+            std::vector<int> chain;
+            int i = (int)parents.size() - 1;
+            while (i >= 0) { chain.push_back(i); i = parents[i]; }
+            int total = (int)chain.size() + 1;
+            if (total > max_pts) return -total;  // caller buffer too small
+            int w = 0;
+            for (int k = (int)chain.size() - 1; k >= 0; --k, ++w)
+                std::memcpy(out_path + 3 * w, &nodes[3 * chain[k]],
+                            3 * sizeof(double));
+            std::memcpy(out_path + 3 * w, goal, 3 * sizeof(double));
+            return total;
+        }
+    }
+    return 0;
+}
+
+int simplify_path(void* grid, const double* path, int n, double* out,
+                  int max_pts) {
+    Grid* g = (Grid*)grid;
+    if (n <= 2) {
+        if (n > max_pts) return -n;
+        std::memcpy(out, path, (size_t)3 * n * sizeof(double));
+        return n;
+    }
+    std::vector<int> keep;
+    keep.push_back(0);
+    int i = 0;
+    while (i < n - 1) {
+        int j = n - 1;
+        while (j > i + 1 && g->edge_blocked(path + 3 * i, path + 3 * j)) --j;
+        keep.push_back(j);
+        i = j;
+    }
+    if ((int)keep.size() > max_pts) return -(int)keep.size();
+    for (size_t k = 0; k < keep.size(); ++k)
+        std::memcpy(out + 3 * k, path + 3 * keep[k], 3 * sizeof(double));
+    return (int)keep.size();
+}
+
+}  // extern "C"
