@@ -139,6 +139,12 @@ class LossConfig:
     end_penalty: float = 5.0
 
 
+# Ablation-study operating point: supervised-time-only training with the QP
+# gradient path switched off (reference `_as` trainer pins w1=0, wt=1, wc=0,
+# wp=0 — train_minsnap_conv_mlp_as.py:135-139).
+ABLATION_SUPERVISED = LossConfig(w1=0.0, wt=1.0, wc=0.0, wp=0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-3

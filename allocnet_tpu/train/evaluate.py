@@ -1,0 +1,82 @@
+"""Evaluation harness: success rate / stop-token & time-segment accuracy.
+
+Equivalent of the reference's scenario test scripts
+(test_minsnap_model_conv_lstm.py, test_minsnap_model_conv_lstm_batch.py:
+24,149-182): run net + QP over a scenario set and aggregate the reference's
+metrics (success_rate, percent_time_segment_accurate, stop-token counts) —
+but in one batched program instead of a per-scenario loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.models import packing
+from allocnet_tpu.ops import admm, qp
+from allocnet_tpu.train import losses as losses_lib
+from allocnet_tpu.utils.scenarios import ScenarioBatch
+
+
+class EvalReport(NamedTuple):
+    n: int
+    success_rate: float                 # QP solved with predicted times
+    stop_token_accuracy: float          # predicted segment count == corridor's
+    time_segment_accuracy: float        # stop loss < 1.0 (reference metric)
+    mean_obj: float                     # mean QP objective over solved
+    mean_time_ratio: float              # predicted total time / reference
+
+
+def evaluate(net, params, cfg: AllocNetConfig, sc: ScenarioBatch,
+             batch_size: int = 256) -> EvalReport:
+    S = cfg.qp.max_seg
+    n = sc.state.shape[0]
+
+    @jax.jit
+    def run(state, hpolys, seg, ref_times):
+        out = net.apply(params, packing.pack_state(state),
+                        packing.pack_hpolys(hpolys))
+        times, tokens = out if isinstance(out, tuple) else (out, None)
+        seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
+        times_q = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), 1.0)
+        data = qp.build_qp(cfg.qp, state, hpolys, times_q, seg)
+        sol = admm.solve_qp(data, cfg.solver)
+        if tokens is not None:
+            stop_loss = losses_lib.stop_token_loss(
+                tokens, seg, cfg.loss, cfg.model.token_thresh)
+            pred_seg = jnp.sum(times > 1e-6, axis=1)
+        else:
+            stop_loss = jnp.zeros(times.shape[0])
+            pred_seg = seg
+        t_pred = jnp.sum(times * seg_mask, axis=1)
+        t_ref = jnp.sum(ref_times * seg_mask, axis=1)
+        return (sol.solved, sol.obj, stop_loss, pred_seg, t_pred, t_ref)
+
+    solved, objs, stops, pseg, tp, tr = [], [], [], [], [], []
+    for k in range(0, n, batch_size):
+        sl = slice(k, min(k + batch_size, n))
+        out = run(jnp.asarray(sc.state[sl], jnp.float32),
+                  jnp.asarray(sc.hpolys[sl], jnp.float32),
+                  jnp.asarray(sc.seg[sl]),
+                  jnp.asarray(sc.times[sl], jnp.float32))
+        for acc, val in zip((solved, objs, stops, pseg, tp, tr), out):
+            acc.append(np.asarray(val))
+    solved = np.concatenate(solved)
+    objs = np.concatenate(objs)
+    stops = np.concatenate(stops)
+    pseg = np.concatenate(pseg)
+    tp = np.concatenate(tp)
+    tr = np.concatenate(tr)
+
+    return EvalReport(
+        n=n,
+        success_rate=float(solved.mean()),
+        stop_token_accuracy=float((pseg == sc.seg[:len(pseg)]).mean()),
+        time_segment_accuracy=float((stops < 1.0).mean()),
+        mean_obj=float(objs[solved].mean()) if solved.any() else float("nan"),
+        mean_time_ratio=float((tp / np.maximum(tr, 1e-6)).mean()),
+    )
