@@ -107,10 +107,17 @@ class SolverConfig:
     # one round suffices for ~96% of random corridor scenarios; a second
     # round rescues ~1% more at ~27% throughput cost (set 2 for max recall)
     polish_rounds: int = 1
-    # max active inequality rows kept in the polish KKT (padded, static shape).
-    max_active: int = 144
+    # max active inequality rows kept in the polish KKT (padded, static
+    # shape). Generic bound: at most n_var - n_eq = 54 inequality rows can be
+    # active at a nondegenerate optimum; 64 leaves slack and cuts the polish
+    # LU cost ~2.3x vs 144 with identical accuracy on corridor batches.
+    max_active: int = 64
     polish_delta: float = 1e-7
     polish_refine_steps: int = 2
+    # run the ADMM chunks in the fused Pallas TPU kernel (VMEM-resident
+    # state, zero per-iteration HBM traffic); falls back to the XLA scan on
+    # non-deploy shapes or non-f32 dtypes.
+    use_pallas: bool = False
     # tolerance used for reporting/acceptance
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4

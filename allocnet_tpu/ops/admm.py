@@ -339,7 +339,13 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
     cfg = data.cfg
     B = data.times.shape[0]
 
-    x, z, y, rho_e, rho_i, pri_admm, dua_admm = admm_solve(data, scfg, x0)
+    core = admm_solve
+    if scfg.use_pallas and data.times.dtype == jnp.float32:
+        from allocnet_tpu.ops.pallas import admm_kernel
+        if admm_kernel.supported(cfg):
+            core = admm_kernel.admm_solve_pallas
+
+    x, z, y, rho_e, rho_i, pri_admm, dua_admm = core(data, scfg, x0)
 
     beq = qp.tree_flat(qp.eq_rhs(data), EQ_KEYS)
     h_flat = qp.tree_flat(qp.ineq_rhs(data), INEQ_KEYS)

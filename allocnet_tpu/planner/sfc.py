@@ -63,6 +63,47 @@ def _crop(points: np.ndarray, bd: np.ndarray, n_max: int):
     return out, mask
 
 
+def _bucket(n: int) -> int:
+    """Round the batch up to a small set of sizes so XLA compiles a handful
+    of FIRI programs instead of one per distinct window count."""
+    for b in (4, 8, 16, 32, 64, 128):
+        if n <= b:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+_FIRI_JIT = None
+_OVERLAP_JIT = None
+
+
+def _firi_batched(bds, pcs, masks, sa, sb, iterations, n_planes, eps):
+    """jitted FIRI over a padded window batch (padding rows are dummy unit
+    boxes whose results are discarded)."""
+    global _FIRI_JIT
+    import jax
+    if _FIRI_JIT is None:
+        _FIRI_JIT = jax.jit(
+            firi_lib.firi,
+            static_argnames=("iterations", "n_planes", "eps", "mvie_iters"))
+    B = bds.shape[0]
+    Bp = _bucket(B)
+    if Bp != B:
+        pad = Bp - B
+        dummy_bd = np.tile(window_bounds(np.zeros(3), np.ones(3), 1.0,
+                                         -np.full(3, 10.0), np.full(3, 10.0)),
+                           (pad, 1, 1))
+        bds = np.concatenate([bds, dummy_bd])
+        pcs = np.concatenate([pcs, np.full((pad,) + pcs.shape[1:], 1e9)])
+        masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:])])
+        sa = np.concatenate([sa, np.zeros((pad, 3)) + 0.2])
+        sb = np.concatenate([sb, np.zeros((pad, 3)) + 0.4])
+    # dtype follows the JAX default (f64 under x64 tests, f32 on TPU)
+    res = _FIRI_JIT(jnp.asarray(bds), jnp.asarray(pcs), jnp.asarray(masks),
+                    jnp.asarray(sa), jnp.asarray(sb),
+                    iterations=iterations, n_planes=n_planes, eps=eps)
+    return np.asarray(res.hpolys)[:B], np.asarray(res.mask)[:B]
+
+
 def convex_cover(
     route: np.ndarray,
     points: np.ndarray,
@@ -87,11 +128,8 @@ def convex_cover(
     seeds_a = np.asarray([w[0] for w in windows])
     seeds_b = np.asarray([w[1] for w in windows])
 
-    res = firi_lib.firi(jnp.asarray(bds), jnp.asarray(pcs), jnp.asarray(masks),
-                        jnp.asarray(seeds_a), jnp.asarray(seeds_b),
-                        iterations=ccfg.firi_iters, n_planes=n_planes, eps=eps)
-    hp = np.asarray(res.hpolys)
-    mk = np.asarray(res.mask)
+    hp, mk = _firi_batched(bds, pcs, masks, seeds_a, seeds_b,
+                           ccfg.firi_iters, n_planes, eps)
 
     # gap polytopes (sfc_gen.hpp:173-182): when the window start `a` is cut
     # off by the pair of adjacent polytopes, inflate a point-seeded polytope.
@@ -110,13 +148,9 @@ def convex_cover(
         polys.append(rows)
 
     if gap_idx:
-        res_g = firi_lib.firi(
-            jnp.asarray(bds[gap_idx]), jnp.asarray(pcs[gap_idx]),
-            jnp.asarray(masks[gap_idx]), jnp.asarray(seeds_a[gap_idx]),
-            jnp.asarray(seeds_a[gap_idx]), iterations=1,
-            n_planes=n_planes, eps=eps)
-        hg = np.asarray(res_g.hpolys)
-        mg = np.asarray(res_g.mask)
+        hg, mg = _firi_batched(
+            bds[gap_idx], pcs[gap_idx], masks[gap_idx],
+            seeds_a[gap_idx], seeds_a[gap_idx], 1, n_planes, eps)
         gi = 0
         for i, p in enumerate(polys):
             if p is None:
@@ -135,18 +169,31 @@ def short_cut(polys: list[np.ndarray]) -> list[np.ndarray]:
         htemp = [htemp[0]] + htemp
     M = len(htemp)
 
-    Fm = max(p.shape[0] for p in htemp)
+    # fixed shapes (faces padded to a constant, pair count bucketed) so the
+    # overlap-LP program compiles once per bucket, not per corridor
+    Fm = 64
     padded = np.zeros((M, Fm, 4))
     mask = np.zeros((M, Fm))
     for i, p in enumerate(htemp):
-        padded[i, :p.shape[0]] = p
-        mask[i, :p.shape[0]] = 1.0
+        k = min(p.shape[0], Fm)
+        padded[i, :k] = p[:k]
+        mask[i, :k] = 1.0
 
     ii, jj = np.triu_indices(M, k=2)
     if len(ii):
-        ov = np.asarray(lp.overlap(
-            jnp.asarray(padded[ii]), jnp.asarray(mask[ii]),
-            jnp.asarray(padded[jj]), jnp.asarray(mask[jj]), eps=0.1))
+        npair = len(ii)
+        Bp = _bucket(npair)
+        sel_i = np.concatenate([ii, np.zeros(Bp - npair, int)])
+        sel_j = np.concatenate([jj, np.zeros(Bp - npair, int)])
+        global _OVERLAP_JIT
+        if _OVERLAP_JIT is None:
+            import jax
+            _OVERLAP_JIT = jax.jit(lp.overlap,
+                                   static_argnames=("eps", "iters"))
+        ov = np.asarray(_OVERLAP_JIT(
+            jnp.asarray(padded[sel_i]), jnp.asarray(mask[sel_i]),
+            jnp.asarray(padded[sel_j]), jnp.asarray(mask[sel_j]),
+            eps=0.1))[:npair]
         omat = np.zeros((M, M), bool)
         omat[ii, jj] = ov
         omat[jj, ii] = ov

@@ -21,6 +21,17 @@ from allocnet_tpu.planner import planner as planner_lib
 from allocnet_tpu.train import dataset as ds_lib
 from allocnet_tpu.utils.scenarios import ScenarioBatch, quintic_time_bounds
 
+_FIND_INTERIOR_JIT = None
+
+
+def _find_interior(hp, mask):
+    global _FIND_INTERIOR_JIT
+    if _FIND_INTERIOR_JIT is None:
+        import jax
+        _FIND_INTERIOR_JIT = jax.jit(lp.find_interior,
+                                     static_argnames=("iters",))
+    return _FIND_INTERIOR_JIT(hp, mask)
+
 
 def random_pillar_map(seed: int, extent=(20.0, 20.0, 4.0), n_pillars=8,
                       radius=0.3) -> np.ndarray:
@@ -81,12 +92,17 @@ def generate(
         # interior points of consecutive-polytope intersections, the
         # reference's get_inner_pts scheme (min_traj_opt.py:251-276)
         waypts = [start]
-        for i in range(cp.seg - 1):
-            inter = np.concatenate([cp.hpolys[i], cp.hpolys[i + 1]])
-            mask = np.linalg.norm(inter[:, :3], axis=1) > 1e-6
-            pt, depth = lp.find_interior(jnp.asarray(inter)[None],
-                                         jnp.asarray(mask, float)[None])
-            waypts.append(np.asarray(pt)[0])
+        if cp.seg > 1:
+            # one fixed-shape batched LP over all junctions (S-1 padded)
+            S = cfg.qp.max_seg
+            inter = np.zeros((S - 1, 2 * cp.hpolys.shape[1], 4))
+            for i in range(cp.seg - 1):
+                inter[i] = np.concatenate([cp.hpolys[i], cp.hpolys[i + 1]])
+            mask = np.linalg.norm(inter[:, :, :3], axis=2) > 1e-6
+            pt, _ = _find_interior(jnp.asarray(inter),
+                                   jnp.asarray(mask, float))
+            for i in range(cp.seg - 1):
+                waypts.append(np.asarray(pt)[i])
         waypts.append(cp.route[-1])
         tlb = quintic_time_bounds(np.asarray(waypts),
                                   cfg.qp.max_vel, cfg.qp.max_acc)
