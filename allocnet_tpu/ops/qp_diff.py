@@ -35,8 +35,6 @@ from allocnet_tpu.ops import admm, qp
 def _active_set(data, scfg, x, lam_flat):
     """Deterministic active-set selection from a solved point (same scoring
     as the polish step)."""
-    cfg = data.cfg
-    m_eq_dummy = 0
     ax_tree = qp.apply_A(data, x)
     ineq_flat = qp.tree_flat({k: ax_tree[k] for k in qp.INEQ_KEYS}, qp.INEQ_KEYS)
     h_flat = qp.tree_flat(qp.ineq_rhs(data), qp.INEQ_KEYS)
