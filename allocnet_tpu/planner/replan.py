@@ -1,0 +1,73 @@
+"""Receding-horizon replanning driver (the 10 Hz loop).
+
+The reference replans on every goal/map change inside its ROS node with a
+fresh OSQP cold start (learning_planning.cpp:143-188).  Here the low-latency
+path is a separate compiled entry point (SURVEY §7 hard-part 5: latency vs
+throughput split) that
+
+  * reuses the previous trajectory as a WARM START: the old physical
+    coefficients are re-scaled into the new problem's variables
+    (qp.scale_coeffs), which lets the warm solve run ~1/3 of the cold
+    iteration budget at the same polish accuracy;
+  * keeps batch B = number of concurrently-replanning streams (1 for a
+    single vehicle), all in one jit program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from allocnet_tpu.config import AllocNetConfig, SolverConfig
+from allocnet_tpu.models import packing
+from allocnet_tpu.ops import admm, qp
+
+
+class ReplanState(NamedTuple):
+    coeffs: jax.Array     # (B, S, 3, D) previous physical coefficients
+    have_prev: jax.Array  # (B,) bool
+
+
+def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
+    """Reduced iteration budget for warm-started solves."""
+    return dataclasses.replace(
+        scfg, n_chunks=1,
+        iters_per_chunk=max(50, scfg.iters_per_chunk // 3))
+
+
+def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:
+    S, D = cfg.qp.max_seg, cfg.qp.D
+    return ReplanState(
+        coeffs=jnp.zeros((batch, S, 3, D), jnp.float32),
+        have_prev=jnp.zeros((batch,), bool))
+
+
+def replan_step(net, params, cfg: AllocNetConfig,
+                state: jax.Array, hpolys: jax.Array, seg: jax.Array,
+                prev: ReplanState):
+    """One replanning tick: net inference + warm-started QP.
+
+    Returns (times, coeffs, solved, new ReplanState). Jit this once and call
+    it at the control loop rate."""
+    out = net.apply(params, packing.pack_state(state),
+                    packing.pack_hpolys(hpolys))
+    times, _ = out if isinstance(out, tuple) else (out, None)
+    S = cfg.qp.max_seg
+    seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
+    times_q = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), 1.0)
+
+    data = qp.build_qp(cfg.qp, state, hpolys, times_q, seg)
+    x0 = qp.scale_coeffs(data, prev.coeffs)
+    x0 = x0 * prev.have_prev.astype(x0.dtype).reshape(-1, 1, 1, 1)
+
+    warm = warm_solver_config(cfg.solver)
+    sol = admm.solve_qp(data, warm, x0=x0)
+
+    new_prev = ReplanState(
+        coeffs=jnp.where(sol.solved.reshape(-1, 1, 1, 1), sol.coeffs,
+                         prev.coeffs),
+        have_prev=prev.have_prev | sol.solved)
+    return times * seg_mask, sol.coeffs, sol.solved, new_prev
