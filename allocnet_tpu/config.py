@@ -12,8 +12,6 @@ Knob names follow the reference so users can port configs 1:1.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 
 

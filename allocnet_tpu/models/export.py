@@ -13,9 +13,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from allocnet_tpu.models import packing
 
 
 def _infer_fn(net):

@@ -19,8 +19,6 @@ Design deltas from the reference (all TPU-motivated, none behavioral):
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

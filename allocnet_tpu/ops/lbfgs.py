@@ -9,7 +9,6 @@ jax.grad of the objective instead of hand-coded callbacks.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -9,7 +9,6 @@ extends the same mesh over processes via jax.distributed (same code path).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
