@@ -130,6 +130,11 @@ class ModelConfig:
     mlp_hidden: int = 128       # MLP-head hidden
     token_thresh: float = 0.42  # stop-token threshold (0.35 for deployed variants)
     head: str = "lstm"          # "lstm" | "mlp"
+    # reference use_time_factor mode (params.yaml planning.use_time_factor,
+    # min_traj_opt.py:113-133): the network output is a FACTOR over the
+    # per-segment time lower bound: T_i = tlb_i * (1 + factor_i).  False
+    # (reference default) means the output IS the segment time.
+    use_time_factor: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,10 +63,16 @@ def init_state(net, tcfg: TrainConfig, sample_state, sample_hpolys) -> TrainStat
 
 
 def loss_fn(params, net, qcfg: QPConfig, scfg: SolverConfig, lcfg: LossConfig,
-            state, hpolys, seg, ref_times, token_thresh: float):
+            state, hpolys, seg, ref_times, token_thresh: float,
+            tlb=None):
     out = net.apply(params, packing.pack_state(state),
                     packing.pack_hpolys(hpolys))
     times, tokens = out if isinstance(out, tuple) else (out, None)
+
+    # reference use_time_factor mode (min_traj_opt.py:113-133): the network
+    # predicts a factor over the per-segment time lower bound
+    if tlb is not None:
+        times = tlb * (1.0 + times)
 
     # floor the active-segment times so the padded QP stays well-posed even
     # for bad early predictions (the reference's unsolved branch handles them)
@@ -85,10 +91,12 @@ def loss_fn(params, net, qcfg: QPConfig, scfg: SolverConfig, lcfg: LossConfig,
 
 def train_step(ts: TrainState, net, tcfg: TrainConfig, qcfg: QPConfig,
                scfg: SolverConfig, lcfg: LossConfig,
-               state, hpolys, seg, ref_times, token_thresh: float = 0.42):
+               state, hpolys, seg, ref_times, token_thresh: float = 0.42,
+               tlb=None):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, bundle), grads = grad_fn(ts.params, net, qcfg, scfg, lcfg,
-                                 state, hpolys, seg, ref_times, token_thresh)
+                                 state, hpolys, seg, ref_times, token_thresh,
+                                 tlb)
     opt = make_optimizer(tcfg)
     updates, new_opt = opt.update(grads, ts.opt_state, ts.params)
     new_params = optax.apply_updates(ts.params, updates)

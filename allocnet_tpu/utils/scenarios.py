@@ -67,6 +67,35 @@ def quintic_time_bounds(waypts: np.ndarray, vmax: float, amax: float) -> np.ndar
                       np.sqrt(5.774 * d / amax).max(axis=1))
 
 
+def corridor_time_lower_bounds(hpolys: np.ndarray, state: np.ndarray,
+                               seg: np.ndarray, vmax: float,
+                               amax: float) -> np.ndarray:
+    """Per-segment time lower bounds for use_time_factor mode, from the
+    corridor's junction waypoints (the reference's getT_lbs over
+    get_inner_pts, min_traj_opt.py:195-276). Host-side NumPy.
+
+    Returns (B, S) with zeros on padded segments."""
+    import jax.numpy as jnp
+    from allocnet_tpu.ops import lp
+
+    B, S = hpolys.shape[:2]
+    out = np.zeros((B, S))
+    for b in range(B):
+        L = int(seg[b])
+        waypts = [state[b, 0, :, 0]]
+        if L > 1:
+            inter = np.zeros((L - 1, 2 * hpolys.shape[2], 4))
+            for i in range(L - 1):
+                inter[i] = np.concatenate([hpolys[b, i], hpolys[b, i + 1]])
+            mask = np.linalg.norm(inter[:, :, :3], axis=2) > 1e-6
+            pt, _ = lp.find_interior(jnp.asarray(inter),
+                                     jnp.asarray(mask, float))
+            waypts.extend(np.asarray(pt))
+        waypts.append(state[b, 1, :, 0])
+        out[b, :L] = time_lower_bounds(np.asarray(waypts), vmax, amax)
+    return out
+
+
 def random_scenarios(
     cfg: QPConfig,
     batch: int,

@@ -15,7 +15,7 @@ from allocnet_tpu.ops import qp_diff
 from allocnet_tpu.utils import scenarios
 
 CFG = QPConfig(order=4, res=10)
-SCFG = SolverConfig()
+SCFG = SolverConfig(n_chunks=2, iters_per_chunk=75, polish_rounds=2)
 
 
 def _loss(state, hpolys, times, seg, weights):

@@ -101,3 +101,25 @@ def test_grad_drives_times_toward_ref_when_unsolved():
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert max(norms) > 0
+
+
+def test_time_factor_mode():
+    """Reference use_time_factor mode: net output is a factor over tlb
+    (min_traj_opt.py:113-133); the step must run and produce finite grads."""
+    from allocnet_tpu.utils.scenarios import corridor_time_lower_bounds
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=32, token_thresh=0.42)
+    state, hpolys, seg, ref_times = _batch(B=4, seed=49)
+    sc_np = (np.asarray(state), np.asarray(hpolys), np.asarray(seg))
+    tlb = corridor_time_lower_bounds(sc_np[1], sc_np[0], sc_np[2],
+                                     QCFG.max_vel, QCFG.max_acc)
+    assert np.all(tlb >= 0)
+    seg_mask = np.arange(QCFG.max_seg)[None, :] < np.asarray(seg)[:, None]
+    assert np.all(tlb[seg_mask] > 0)
+    assert np.all(tlb[~seg_mask] == 0)
+    ts = ts_lib.init_state(net, TCFG, state, hpolys)
+    step = jax.jit(lambda t, a, b, c, d, e: ts_lib.train_step(
+        t, net, TCFG, QCFG, SCFG, LCFG, a, b, c, d, tlb=e))
+    ts2, bundle = step(ts, state, hpolys, seg, ref_times,
+                       jnp.asarray(tlb, jnp.float32))
+    assert np.isfinite(float(bundle.total))
