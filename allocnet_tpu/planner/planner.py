@@ -71,7 +71,26 @@ def plan_corridor(pmap: PlannerMap, start: np.ndarray, goal: np.ndarray,
         return CorridorPlan(route, empty, len(polys), False, "long_corridor")
     polys = sfc.normalize_polys(polys)
     hp, seg = sfc.to_padded(polys, cfg.qp)
+    route = _refine_goal(route, polys[-1])
     return CorridorPlan(route, hp, seg, True, "ok")
+
+
+def _refine_goal(route: np.ndarray, last_poly: np.ndarray) -> np.ndarray:
+    """Pull the goal inside the last polytope by interpolating toward the
+    previous route point (reference refine_goal, min_traj_opt.py:214-232)."""
+    goal = route[-1]
+    a, b = last_poly[:, :3], last_poly[:, 3]
+    if np.max(a @ goal - b) <= 0.01:
+        return route
+    anchor = route[-2] if len(route) > 1 else goal
+    for k in range(1, 20):
+        lam = 1.0 - k / 20.0
+        cand = (1.0 - lam) * anchor + lam * goal
+        if np.max(a @ cand - b) <= 0.0:
+            out = route.copy()
+            out[-1] = cand
+            return out
+    return route
 
 
 class PlanOutput(NamedTuple):
