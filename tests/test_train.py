@@ -123,3 +123,15 @@ def test_time_factor_mode():
     ts2, bundle = step(ts, state, hpolys, seg, ref_times,
                        jnp.asarray(tlb, jnp.float32))
     assert np.isfinite(float(bundle.total))
+
+
+def test_scaling_harness_smoke():
+    """Weak-scaling harness runs on the virtual device mesh and reports
+    sane efficiency numbers."""
+    from allocnet_tpu.parallel import scaling
+
+    res = scaling.solve_scaling(
+        per_device_batch=4, device_counts=(1, 2),
+        cfg=QPConfig(res=5), scfg=SolverConfig(n_chunks=1, iters_per_chunk=20))
+    assert res[1]["efficiency"] == 1.0
+    assert res[2]["solves_per_sec"] > 0
