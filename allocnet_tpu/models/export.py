@@ -54,3 +54,50 @@ def load(path: str, params_template):
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         params = serialization.from_bytes(params_template, f.read())
     return exported.call, params
+
+
+def save_replan(path: str, net, params, cfg, batch: int = 1) -> None:
+    """Serialize the FULL warm-start replanning step (net + batched QP +
+    trajectory recovery) as one StableHLO program — the deployment analog of
+    the reference's TorchScript-in-C++ serving path (learning_planner.hpp:
+    58-138), except the whole planner hot path ships, not just the network.
+    """
+    import jax.numpy as jnp
+    from flax import serialization
+    from jax import export as jexport
+
+    from allocnet_tpu.planner import replan
+
+    os.makedirs(path, exist_ok=True)
+    S, D, F = cfg.qp.max_seg, cfg.qp.D, cfg.qp.max_faces
+
+    def step(p, state, hpolys, seg, prev_coeffs, have_prev):
+        prev = replan.ReplanState(coeffs=prev_coeffs, have_prev=have_prev)
+        times, coeffs, solved, new_prev = replan.replan_step(
+            net, p, cfg, state, hpolys, seg, prev)
+        return times, coeffs, solved, new_prev.coeffs, new_prev.have_prev
+
+    shapes = (
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        jax.ShapeDtypeStruct((batch, 2, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch, S, F, 4), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch, S, 3, D), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.bool_),
+    )
+    exported = jexport.export(jax.jit(step))(*shapes)
+    with open(os.path.join(path, "replan.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_replan(path: str, params_template):
+    from flax import serialization
+    from jax import export as jexport
+
+    with open(os.path.join(path, "replan.stablehlo"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(params_template, f.read())
+    return exported.call, params

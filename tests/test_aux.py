@@ -125,3 +125,45 @@ def test_cli_help_and_datagen(tmp_path):
             os.path.dirname(os.path.abspath(__file__))), env=env)
     assert out.returncode == 0
     assert "datagen" in out.stdout
+
+
+def test_replan_export_roundtrip(tmp_path):
+    """The full net+QP replan step serializes to StableHLO and reproduces
+    the in-process result."""
+    from allocnet_tpu.config import AllocNetConfig
+    from allocnet_tpu.models import export as export_lib
+    from allocnet_tpu.planner import replan
+    from allocnet_tpu.utils import scenarios as sc_lib
+
+    cfg = AllocNetConfig(qp=QPConfig(res=5),
+                         solver=SolverConfig(n_chunks=1, iters_per_chunk=30))
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=16, token_thresh=0.42)
+    sc = sc_lib.random_scenarios(cfg.qp, 1, seed=91, min_seg=2)
+    st = jnp.asarray(sc.state, jnp.float32)
+    hp = jnp.asarray(sc.hpolys, jnp.float32)
+    seg = jnp.asarray(sc.seg, jnp.int32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 9, 2), jnp.float32),
+                      jnp.zeros((1, 50, 4, 5), jnp.float32))
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    path = str(tmp_path / "replan")
+    export_lib.save_replan(path, net, params, cfg, batch=1)
+    assert os.path.getsize(os.path.join(path, "replan.stablehlo")) > 10_000
+
+    call, params2 = export_lib.load_replan(path, params)
+    prev = replan.init_state(1, cfg)
+    # compare jitted-vs-exported (identical programs); an eager reference
+    # differs at f32 fusion level on ill-conditioned random-net scenarios
+    ref = jax.jit(lambda *a: replan.replan_step(net, params, cfg, *a[:3],
+                                                replan.ReplanState(a[3], a[4])))(
+        st, hp, seg, prev.coeffs, prev.have_prev)
+    got = call(params2, st, hp, seg, prev.coeffs, prev.have_prev)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-6)   # network times
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+    # the random-net scenario's QP is typically unsolved — its clipped
+    # iterate is chaotic across program partitionings, so only check shape
+    # and finiteness of the coefficients
+    assert np.asarray(got[1]).shape == np.asarray(ref[1]).shape
+    assert np.all(np.isfinite(np.asarray(got[1])))
