@@ -27,19 +27,29 @@ class PlannerMap(NamedTuple):
     surf: np.ndarray       # (N, 3) dilated-surface points (host copy)
     lo: np.ndarray
     hi: np.ndarray
+    native: object         # runtime NativeGrid or None
 
 
 def build_map(points: np.ndarray, lo, hi, scale: float = 0.25,
-              dilate_r: int = 2) -> PlannerMap:
+              dilate_r: int = 2, safe_dis: float = 0.5) -> PlannerMap:
     """Point cloud -> dilated voxel map + surface cloud (the map callback,
-    learning_planning.cpp:115-141)."""
+    learning_planning.cpp:115-141). Builds the C++ collision grid when the
+    native runtime is available (runtime/allocnet_native.cpp)."""
     lo = np.asarray(lo, float)
     hi = np.asarray(hi, float)
     size = tuple(int(np.ceil((hi[j] - lo[j]) / scale)) for j in range(3))
     grid = voxel.make_grid(jnp.asarray(points, jnp.float32), lo, size, scale,
                            dilate_r)
     surf = voxel.surf_points_host(grid)
-    return PlannerMap(grid=grid, surf=surf, lo=lo, hi=hi)
+    ngrid = None
+    try:
+        from allocnet_tpu.planner import native
+        if native.available():
+            ngrid = native.NativeGrid(points, lo, hi, scale=scale,
+                                      safe_dis=safe_dis)
+    except Exception:
+        ngrid = None
+    return PlannerMap(grid=grid, surf=surf, lo=lo, hi=hi, native=ngrid)
 
 
 class CorridorPlan(NamedTuple):
@@ -56,14 +66,22 @@ def plan_corridor(pmap: PlannerMap, start: np.ndarray, goal: np.ndarray,
     reference (path-not-found learning_planner.hpp:259-262, long-corridor
     :287-291)."""
     ccfg = cfg.corridor
-    route = rrt.plan(start, goal, pmap.surf, pmap.lo, pmap.hi,
-                     safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
-                     max_iter=ccfg.rrt_max_iter, goal_bias=ccfg.rrt_goal_bias,
-                     seed=seed)
+    if pmap.native is not None:
+        route = pmap.native.rrt(start, goal, step=ccfg.rrt_step,
+                                max_iter=ccfg.rrt_max_iter,
+                                goal_bias=ccfg.rrt_goal_bias, seed=seed)
+    else:
+        route = rrt.plan(start, goal, pmap.surf, pmap.lo, pmap.hi,
+                         safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
+                         max_iter=ccfg.rrt_max_iter,
+                         goal_bias=ccfg.rrt_goal_bias, seed=seed)
     empty = np.zeros((cfg.qp.max_seg, cfg.qp.max_faces, 4))
     if route is None:
         return CorridorPlan(np.zeros((0, 3)), empty, 0, False, "no_path")
-    route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
+    if pmap.native is not None:
+        route = pmap.native.simplify(route)
+    else:
+        route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
 
     polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi, ccfg)
     polys = sfc.short_cut(polys)

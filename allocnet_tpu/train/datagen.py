@@ -111,6 +111,26 @@ def generate(
 
     sc = ScenarioBatch(state=state[:count], hpolys=hpolys[:count],
                        times=times[:count], seg=segs[:count])
+    sc = certify(cfg, sc)
     if out_path is not None:
         ds_lib.write_h5(out_path, sc)
     return sc
+
+
+def certify(cfg: AllocNetConfig, sc: ScenarioBatch) -> ScenarioBatch:
+    """Keep only samples whose QP solves with the reference times — an
+    unsolvable reference time vector is a corrupt supervision target.
+    (The reference has no such check; its training just routes those
+    samples to the fallback loss every epoch.)"""
+    from allocnet_tpu.ops import admm, qp
+
+    if sc.state.shape[0] == 0:
+        return sc
+    data = qp.build_qp(cfg.qp, jnp.asarray(sc.state, jnp.float32),
+                       jnp.asarray(sc.hpolys, jnp.float32),
+                       jnp.asarray(sc.times, jnp.float32),
+                       jnp.asarray(sc.seg))
+    sol = admm.solve_qp(data, cfg.solver)
+    keep = np.asarray(sol.solved)
+    return ScenarioBatch(state=sc.state[keep], hpolys=sc.hpolys[keep],
+                         times=sc.times[keep], seg=sc.seg[keep])

@@ -16,25 +16,27 @@ from allocnet_tpu.viz import artifacts
 def test_generate_dataset_roundtrip(tmp_path):
     cfg = AllocNetConfig(qp=QPConfig(res=10))
     path = str(tmp_path / "dataset.h5")
-    sc = datagen.generate(cfg, n_samples=4, out_path=path, seed=5)
-    assert sc.state.shape[0] == 4
+    sc = datagen.generate(cfg, n_samples=6, out_path=path, seed=5)
+    # generation certifies samples (drops reference-time-infeasible ones)
+    n = sc.state.shape[0]
+    assert 2 <= n <= 6
     assert np.all(sc.seg >= 1) and np.all(sc.seg <= cfg.qp.max_seg)
     back = ds_lib.read_h5(path, cfg.qp)
     np.testing.assert_allclose(back.times, sc.times, atol=1e-12)
 
     # generated corridors must contain their endpoints
-    for b in range(4):
+    for b in range(n):
         L = int(sc.seg[b])
         first = sc.hpolys[b, 0]
         mask = np.linalg.norm(first[:, :3], axis=1) > 1e-6
         start = sc.state[b, 0, :, 0]
         assert np.all(first[mask, :3] @ start <= first[mask, 3] + 1e-5)
 
-    # and most generated QPs must be solvable with the reference times
+    # every certified sample must be solvable with the reference times
     data = qp.build_qp(cfg.qp, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
                        jnp.asarray(sc.times), jnp.asarray(sc.seg))
     sol = admm.solve_qp(data, SolverConfig())
-    assert int(np.asarray(sol.solved).sum()) >= 3
+    assert int(np.asarray(sol.solved).sum()) == n
 
 
 def test_viz_artifacts(tmp_path):
