@@ -104,7 +104,14 @@ def cmd_plan(args):
         net, params, cfg, seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
     ok = bool(out.corridor_ok[0]) and bool(np.asarray(out.result.ok)[0])
-    report = {"ok": ok, "reason": out.reasons[0],
+    reason = out.reasons[0]
+    if reason == "ok" and not ok:
+        # corridor succeeded; name the downstream failure stage
+        # (the reference's taxonomy: bad predicted times vs QP failure,
+        # learning_planner.hpp:181-189 / qp_solver.hpp:334-352)
+        reason = ("bad_times" if bool(np.asarray(out.result.solved)[0])
+                  else "qp_failed")
+    report = {"ok": ok, "reason": reason,
               "times": np.asarray(out.result.times)[0].tolist(),
               "obj": float(np.asarray(out.result.obj)[0])}
     if out.corridor_ok[0]:
