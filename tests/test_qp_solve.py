@@ -101,3 +101,25 @@ def test_padded_segments_inert():
     coeffs = np.asarray(sol.coeffs)
     for b in range(4):
         assert np.all(coeffs[b, int(sc.seg[b]):] == 0.0)
+
+
+def test_batched_equals_single():
+    """SURVEY section 4: batched-vs-single equivalence — solving scenarios
+    together must give identical results to solving them alone (no cross-
+    scenario leakage through the masked batch)."""
+    cfg = QPConfig(order=4, res=10)
+    scfg = SolverConfig(n_chunks=2, iters_per_chunk=75)
+    sc = scenarios.random_scenarios(cfg, 4, seed=23, min_seg=1)
+    data = qp.build_qp(cfg, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
+                       jnp.asarray(sc.times), jnp.asarray(sc.seg))
+    batched = admm.solve_qp(data, scfg)
+    for b in range(4):
+        d1 = qp.build_qp(cfg, jnp.asarray(sc.state[b:b + 1]),
+                         jnp.asarray(sc.hpolys[b:b + 1]),
+                         jnp.asarray(sc.times[b:b + 1]),
+                         jnp.asarray(sc.seg[b:b + 1]))
+        single = admm.solve_qp(d1, scfg)
+        np.testing.assert_allclose(np.asarray(single.coeffs)[0],
+                                   np.asarray(batched.coeffs)[b],
+                                   rtol=1e-10, atol=1e-12)
+        assert bool(single.solved[0]) == bool(np.asarray(batched.solved)[b])
