@@ -71,3 +71,38 @@ def test_trainer_epoch_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(tr2.ts.params['params']['tf_w']),
         np.asarray(ts.params['params']['tf_w']))
+
+
+def test_committed_artifact_loads_and_performs():
+    """The committed trained checkpoint + dataset must load and hit a
+    minimum success rate (guards the repo's demo artifacts)."""
+    import jax
+    from allocnet_tpu.config import ModelConfig, SolverConfig as SC
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+    from allocnet_tpu.train import evaluate, train_step as ts_lib
+    from allocnet_tpu.utils.scenarios import ScenarioBatch
+
+    root = os.path.join(os.path.dirname(__file__), "..", "runs", "synth_comb")
+    if not os.path.exists(os.path.join(root, "dataset.h5")):
+        import pytest
+        pytest.skip("demo artifacts not present")
+
+    cfg = AllocNetConfig(qp=QPConfig(res=10, max_vel=5.0, max_acc=7.0),
+                         solver=SC(n_chunks=2, iters_per_chunk=100),
+                         model=ModelConfig(hidden_size=256))
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.42)
+    sc = ds_lib.read_h5(os.path.join(root, "dataset.h5"), cfg.qp)
+    loader = ds_lib.Loader(sc, batch_size=32, seed=0)
+    sample = loader._gather(loader.train_idx[:2])
+    ts = ts_lib.init_state(net, cfg.train,
+                           jnp.asarray(sample.state, jnp.float32),
+                           jnp.asarray(sample.hpolys, jnp.float32))
+    ck = trainer_lib.latest_checkpoint(os.path.join(root, "checkpoints"))
+    assert ck is not None
+    ts, _ = trainer_lib.restore_checkpoint(ck, ts)
+    val = loader._gather(loader.val_idx[:32])
+    vs = ScenarioBatch(state=val.state, hpolys=val.hpolys,
+                       times=val.ref_times, seg=val.seg)
+    rep = evaluate.evaluate(net, ts.params, cfg, vs, batch_size=32)
+    assert rep.success_rate >= 0.3
+    assert rep.stop_token_accuracy >= 0.5
