@@ -41,10 +41,33 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda a: jax.device_put(a, r), tree)
 
 
+def _looks_multiprocess() -> bool:
+    """True when the environment carries an explicit multi-process launch
+    config (coordinator address / process count), i.e. the user *intends*
+    distributed execution and a silent single-host fallback would be wrong."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        return True
+    n = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("NPROC")
+    try:
+        return int(n) > 1 if n is not None else False
+    except ValueError:
+        return False
+
+
 def initialize_distributed():
-    """Multi-host entry: call once per process before building the mesh
-    (single-process environments no-op)."""
+    """Multi-host entry: call once per process before building the mesh.
+
+    Environments with no distributed config no-op; a *configured*
+    multi-process launch that fails to initialize raises — a misconfigured
+    fleet must not silently degrade to single-host training (each process
+    would train on its own shard with no gradient reduction).
+    """
     try:
         jax.distributed.initialize()
     except Exception:
-        pass
+        if _looks_multiprocess():
+            raise
+        # single-process environment: nothing to initialize

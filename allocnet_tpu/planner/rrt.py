@@ -53,7 +53,6 @@ def plan(
     if blocked(start) or blocked(goal):
         return None
 
-    nodes = [start]
     parents = [-1]
     arr = np.zeros((max_iter + 1, 3))
     arr[0] = start

@@ -11,6 +11,8 @@ every one of these serially.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -72,19 +74,23 @@ def _bucket(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-_FIRI_JIT = None
-_OVERLAP_JIT = None
+@functools.cache
+def _firi_jit():
+    import jax
+    return jax.jit(firi_lib.firi,
+                   static_argnames=("iterations", "n_planes", "eps",
+                                    "mvie_iters"))
+
+
+@functools.cache
+def _overlap_jit():
+    import jax
+    return jax.jit(lp.overlap, static_argnames=("eps", "iters"))
 
 
 def _firi_batched(bds, pcs, masks, sa, sb, iterations, n_planes, eps):
     """jitted FIRI over a padded window batch (padding rows are dummy unit
     boxes whose results are discarded)."""
-    global _FIRI_JIT
-    import jax
-    if _FIRI_JIT is None:
-        _FIRI_JIT = jax.jit(
-            firi_lib.firi,
-            static_argnames=("iterations", "n_planes", "eps", "mvie_iters"))
     B = bds.shape[0]
     Bp = _bucket(B)
     if Bp != B:
@@ -98,7 +104,7 @@ def _firi_batched(bds, pcs, masks, sa, sb, iterations, n_planes, eps):
         sa = np.concatenate([sa, np.zeros((pad, 3)) + 0.2])
         sb = np.concatenate([sb, np.zeros((pad, 3)) + 0.4])
     # dtype follows the JAX default (f64 under x64 tests, f32 on TPU)
-    res = _FIRI_JIT(jnp.asarray(bds), jnp.asarray(pcs), jnp.asarray(masks),
+    res = _firi_jit()(jnp.asarray(bds), jnp.asarray(pcs), jnp.asarray(masks),
                     jnp.asarray(sa), jnp.asarray(sb),
                     iterations=iterations, n_planes=n_planes, eps=eps)
     return np.asarray(res.hpolys)[:B], np.asarray(res.mask)[:B]
@@ -185,12 +191,7 @@ def short_cut(polys: list[np.ndarray]) -> list[np.ndarray]:
         Bp = _bucket(npair)
         sel_i = np.concatenate([ii, np.zeros(Bp - npair, int)])
         sel_j = np.concatenate([jj, np.zeros(Bp - npair, int)])
-        global _OVERLAP_JIT
-        if _OVERLAP_JIT is None:
-            import jax
-            _OVERLAP_JIT = jax.jit(lp.overlap,
-                                   static_argnames=("eps", "iters"))
-        ov = np.asarray(_OVERLAP_JIT(
+        ov = np.asarray(_overlap_jit()(
             jnp.asarray(padded[sel_i]), jnp.asarray(mask[sel_i]),
             jnp.asarray(padded[sel_j]), jnp.asarray(mask[sel_j]),
             eps=0.1))[:npair]

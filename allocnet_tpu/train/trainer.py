@@ -96,9 +96,29 @@ class Trainer:
             params, net, c.qp, c.solver, c.loss, st, hp, sg, rt,
             c.model.token_thresh))
 
+    # flush buffered step metrics every N steps: converting bundle scalars
+    # with float() per step forces a device sync that serializes dispatch
+    # (round-1 weak spot; hostile at 50-100k-sample scale).
+    log_every: int = 25
+
     def _log(self, record: dict) -> None:
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def _flush_steps(self, pending: list) -> None:
+        if not pending:
+            return
+        with open(self.log_path, "a") as f:
+            for epoch, step, bundle in pending:
+                f.write(json.dumps({
+                    "epoch": epoch, "step": step,
+                    "obj": float(bundle.total), "obj1": float(bundle.obj1),
+                    "objt": float(bundle.objt), "objc": float(bundle.objc),
+                    "stop": float(bundle.stop),
+                    "success_rate": float(bundle.success_rate),
+                    "time_segment_accuracy": float(bundle.time_segment_accuracy),
+                }) + "\n")
+        pending.clear()
 
     def _to_dev(self, batch: ds_lib.Batch):
         return (jnp.asarray(batch.state, jnp.float32),
@@ -111,16 +131,15 @@ class Trainer:
         epochs = max_epochs or tcfg.max_epochs
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
+            pending: list = []
+            step = int(self.ts.step)
             for batch in self.loader.epoch(epoch, "train"):
                 self.ts, bundle = self._step(self.ts, *self._to_dev(batch))
-                self._log({
-                    "epoch": epoch, "step": int(self.ts.step),
-                    "obj": float(bundle.total), "obj1": float(bundle.obj1),
-                    "objt": float(bundle.objt), "objc": float(bundle.objc),
-                    "stop": float(bundle.stop),
-                    "success_rate": float(bundle.success_rate),
-                    "time_segment_accuracy": float(bundle.time_segment_accuracy),
-                })
+                step += 1
+                pending.append((epoch, step, bundle))  # device-side, async
+                if len(pending) >= self.log_every:
+                    self._flush_steps(pending)
+            self._flush_steps(pending)
             # validation (reference: validation loop train_minsnap_conv.py:287-332)
             val = [self._eval(self.ts.params, *self._to_dev(b))[1]
                    for b in self.loader.epoch(epoch, "val")]

@@ -42,12 +42,22 @@ def main():
         float(np.asarray(sol.obj).sum())  # force full sync
     dt = (time.time() - t0) / reps
 
+    # accuracy gate in the SAME run: the throughput number only counts if the
+    # benchmarked batch actually solved (residuals within tolerance + the
+    # reference's objective sanity window).  A perf change that trades
+    # accuracy shows up here, not silently.
+    solved_frac = float(np.asarray(sol.solved).mean())
+    max_pri = float(np.asarray(sol.pri_res)[np.asarray(sol.solved)].max())
+    assert solved_frac >= 0.93, f"solved fraction {solved_frac:.3f} < 0.93"
+    assert max_pri < 1e-3, f"max primal residual {max_pri:.2e} on solved set"
+
     value = B / dt
     print(json.dumps({
         "metric": "minsnap_qp_solves_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "solves/s",
         "vs_baseline": round(value / 1000.0, 3),
+        "solved_frac": round(solved_frac, 4),
     }))
 
 

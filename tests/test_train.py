@@ -135,3 +135,26 @@ def test_scaling_harness_smoke():
         cfg=QPConfig(res=5), scfg=SolverConfig(n_chunks=1, iters_per_chunk=20))
     assert res[1]["efficiency"] == 1.0
     assert res[2]["solves_per_sec"] > 0
+
+
+def test_initialize_distributed_fails_loudly(monkeypatch):
+    """A configured multi-process launch that cannot initialize must raise,
+    not silently degrade to single-host (round-1 weak spot)."""
+    import jax as _jax
+    from allocnet_tpu.parallel import mesh as m
+
+    def boom():
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", boom)
+    # no multi-process config in env: swallow (single-process no-op)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("NPROC", raising=False)
+    m.initialize_distributed()
+    # configured launch: must propagate
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    import pytest
+    with pytest.raises(RuntimeError):
+        m.initialize_distributed()
