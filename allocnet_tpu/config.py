@@ -112,6 +112,18 @@ class SolverConfig:
     max_active: int = 64
     polish_delta: float = 1e-7
     polish_refine_steps: int = 2
+    # KKT factorization for polish: "lu" = batched pivoted LU (XLA's, slow on
+    # TPU: row pivoting serializes into gathers), "ldl" = pivot-free blocked
+    # LDL^T (ops/ldl.py) valid for the quasi-definite regularized KKT —
+    # GEMM-shaped, ~3x faster at B=1024.  f32 stability comes from a static
+    # elimination ordering (PD slots, constraints, P-null slots last — see
+    # admm.polish); with it the factor tolerates delta-level regularization
+    # and matches the pivoted LU's solved rate exactly.
+    polish_method: str = "ldl"
+    # factor-side regularization floor for the LDL path (also the minimum
+    # pivot magnitude); 1e-5 = the f32 polish delta, i.e. no extra
+    # perturbation beyond what the LU path already uses.
+    polish_ldl_delta: float = 1e-5
     # run the ADMM chunks in the fused Pallas TPU kernel (VMEM-resident
     # state, zero per-iteration HBM traffic); falls back to the XLA scan on
     # non-deploy shapes or non-f32 dtypes.

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from allocnet_tpu.config import SolverConfig
 from allocnet_tpu.ops import qp
@@ -86,6 +87,21 @@ def _residuals(data: QPData, x, z, y, beq, h):
     return pri, pri_rel, dua, dua_rel
 
 
+def spd_inverse(M: jax.Array) -> jax.Array:
+    """Explicit inverse of a batched SPD matrix via Cholesky.
+
+    ~2x cheaper than jnp.linalg.inv on TPU (no row pivoting: the LU pivot
+    search serializes into per-step gathers, Cholesky is triangular-solve +
+    GEMM shaped).  The normal matrix M = sigma I + rho_e Aeq^T Aeq +
+    rho_i G^T G is SPD by construction.
+    """
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True)
+    return jnp.einsum('bki,bkj->bij', Linv, Linv)
+
+
 def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua)."""
     cfg = data.cfg
@@ -132,7 +148,7 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     for _ in range(scfg.n_chunks):
         rho_e_cur, rho_i_cur = rho_e, rho_i
         M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)
-        Minv = jnp.linalg.inv(M)
+        Minv = spd_inverse(M)
         (x, z, y), _ = jax.lax.scan(
             lambda c, s: one_iter(c, s, M, Minv), (x, z, y), None,
             length=scfg.iters_per_chunk)
@@ -253,7 +269,8 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
     # in float32 the regularization must sit above roundoff; refinement
     # corrects the delta perturbation afterwards
     dmin = 1e-5 if dtype == jnp.float32 else 0.0
-    delta = jnp.asarray(max(scfg.polish_delta, dmin), dtype)
+    delta_py = max(scfg.polish_delta, dmin)
+    delta = jnp.asarray(delta_py, dtype)
     m = m_eq + K
     kdim = n + m
 
@@ -267,8 +284,51 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
     rhs = jnp.concatenate(
         [jnp.zeros((B, n), dtype), beq, h_act], axis=1)
 
-    lu, piv = jax.scipy.linalg.lu_factor(Kmat)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    if scfg.polish_method == "ldl":
+        # pivot-free quasi-definite LDL^T (ops/ldl.py): GEMM-shaped, no row
+        # pivoting.  Numerical recipe for f32 (without it ~1/3 of scenarios
+        # lose the polish):
+        #   1. STATIC symmetric permutation: Qhat has exact rank `order`
+        #      (only coefficients of degree >= order carry snap cost), so in
+        #      natural order half the primal pivots are exactly delta and
+        #      natural elimination divides O(1) constraint entries by it.
+        #      Eliminate the PD coefficient slots first, constraint rows
+        #      next, and the P-null slots LAST — after the constraint rows
+        #      are eliminated the null slots have picked up O(1) Schur terms.
+        #      Quasi-definiteness (Vanderbei 1995) guarantees the
+        #      factorization exists for ANY symmetric permutation with the
+        #      pivot signs still +1 on primal / -1 on dual slots.
+        #   2. Factor a more heavily regularized KKT (delta_f) to bound the
+        #      remaining element growth; the refinement below runs against
+        #      the TRUE KKT either way, so the perturbation washes out.
+        from allocnet_tpu.ops import ldl as ldl_lib
+        df = jnp.asarray(max(scfg.polish_ldl_delta, delta_py), dtype)
+        slot = np.arange(n) % cfg.D
+        perm = np.concatenate([
+            np.nonzero(slot < cfg.order)[0],          # PD coefficient slots
+            np.arange(n, kdim),                        # constraint rows
+            np.nonzero(slot >= cfg.order)[0]])         # P-null slots last
+        iperm = np.argsort(perm)
+        sgn_nat = np.where(np.arange(kdim) < n, 1.0, -1.0)
+        Kf = Kmat + (df - delta) * jnp.asarray(sgn_nat, dtype)[None] * jnp.eye(
+            kdim, dtype=dtype)
+        Kf = Kf[:, perm][:, :, perm]
+        Kp, _, _ = ldl_lib.pad_to_block(Kf, rhs, nb=64)
+        L, dvec = ldl_lib.ldl_factor(
+            Kp, nb=64, reg=float(scfg.polish_ldl_delta),
+            sign=jnp.asarray(sgn_nat[perm], dtype))
+        kp = Kp.shape[1]
+
+        def solve_fn(r):
+            rpad = jnp.zeros((B, kp), dtype).at[:, :kdim].set(r[:, perm])
+            return ldl_lib.ldl_solve(L, dvec, rpad)[:, :kdim][:, iperm]
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(Kmat)
+
+        def solve_fn(r):
+            return jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    sol = solve_fn(rhs)
 
     def kkt_residual(sol):
         xx, mults = sol[:, :n], sol[:, n:]
@@ -276,9 +336,11 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
         r2 = jnp.einsum('bmn,bn->bm', A_full, xx) - jnp.concatenate([beq, h_act], axis=1)
         return jnp.concatenate([r1, r2], axis=1)
 
-    for _ in range(scfg.polish_refine_steps):
+    n_refine = scfg.polish_refine_steps + (
+        1 if scfg.polish_method == "ldl" else 0)
+    for _ in range(n_refine):
         r = kkt_residual(sol)
-        sol = sol - jax.scipy.linalg.lu_solve((lu, piv), r)
+        sol = sol - solve_fn(r)
 
     x_pol = sol[:, :n].reshape(x.shape)
     nu_pol = sol[:, n:n + m_eq]

@@ -405,7 +405,7 @@ def admm_solve_pallas(data, scfg: SolverConfig, x0=None, interpret=False):
     for _ in range(scfg.n_chunks):
         M = qp.normal_matrix(data, sigma, rho_e.astype(dtype),
                              rho_i.astype(dtype))
-        Minv = jnp.linalg.inv(M)
+        Minv = admm_mod.spd_inverse(M)
         eye_pad = jnp.eye(128, dtype=jnp.float32)
         Mp = jnp.tile(eye_pad[None], (B, 1, 1)) \
             .at[:, :120, :120].set(M.astype(jnp.float32))

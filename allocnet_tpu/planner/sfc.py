@@ -235,3 +235,138 @@ def to_padded(polys: list[np.ndarray], cfg: QPConfig) -> tuple[np.ndarray, int]:
         p = polys[i][:F]
         out[i, :p.shape[0]] = p
     return out, seg
+
+
+# ---------------------------------------------------------------------------
+# cross-plan batching: many corridors, one set of device calls
+# ---------------------------------------------------------------------------
+
+def convex_cover_many(
+    routes: list,
+    points: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    ccfg: CorridorConfig = CorridorConfig(),
+    n_points: int = 2048,
+    n_planes: int = 50,
+    eps: float = 1e-6,
+) -> list:
+    """convex_cover for MANY plans with ALL FIRI windows of ALL plans fused
+    into one batched call (and all gap polytopes into a second).
+
+    The round-1 pipeline batched FIRI *within* a plan only; corridor
+    generation was the datagen bottleneck (~0.5 s/sample, VERDICT weak #7).
+    Returns one polytope list per route.
+    """
+    owners: list[int] = []
+    all_windows: list[tuple[np.ndarray, np.ndarray]] = []
+    for p, route in enumerate(routes):
+        ws = walk_route(route, ccfg.progress)
+        owners.extend([p] * len(ws))
+        all_windows.extend(ws)
+    if not all_windows:
+        return [[] for _ in routes]
+
+    B = len(all_windows)
+    bds = np.zeros((B, 6, 4))
+    pcs = np.zeros((B, n_points, 3))
+    masks = np.zeros((B, n_points))
+    for k, (a, b) in enumerate(all_windows):
+        bds[k] = window_bounds(a, b, ccfg.range_xy, lo, hi)
+        pcs[k], masks[k] = _crop(points, bds[k], n_points)
+    seeds_a = np.asarray([w[0] for w in all_windows])
+    seeds_b = np.asarray([w[1] for w in all_windows])
+
+    hp, mk = _firi_batched(bds, pcs, masks, seeds_a, seeds_b,
+                           ccfg.firi_iters, n_planes, eps)
+
+    # per-plan gap detection (sequential within a plan, independent across)
+    polys_per: list[list] = [[] for _ in routes]
+    gap_global: list[int] = []
+    gap_slots: list[tuple[int, int]] = []   # (plan, index in plan list)
+    for k in range(B):
+        p = owners[k]
+        rows = hp[k][mk[k] > 0]
+        plist = polys_per[p]
+        if plist:
+            a = seeds_a[k]
+            prev = plist[-1]
+            viol = int(np.sum(rows[:, :3] @ a - rows[:, 3] > -eps))
+            viol += int(np.sum(prev[:, :3] @ a - prev[:, 3] > -eps))
+            if viol >= 3:
+                gap_global.append(k)
+                gap_slots.append((p, len(plist)))
+                plist.append(None)
+        plist.append(rows)
+
+    if gap_global:
+        hg, mg = _firi_batched(
+            bds[gap_global], pcs[gap_global], masks[gap_global],
+            seeds_a[gap_global], seeds_a[gap_global], 1, n_planes, eps)
+        for gi, (p, slot) in enumerate(gap_slots):
+            polys_per[p][slot] = hg[gi][mg[gi] > 0]
+    return polys_per
+
+
+def short_cut_many(corridors: list) -> list:
+    """short_cut for many corridors with every non-adjacent overlap LP of
+    every corridor solved in ONE batched call."""
+    temps = []
+    for polys in corridors:
+        htemp = list(polys)
+        if len(htemp) == 1:
+            htemp = [htemp[0]] + htemp
+        temps.append(htemp)
+
+    Fm = 64
+    reqs_a, reqs_b = [], []
+    spans = []          # (offset, M, ii, jj) per corridor
+    pads, mask_list = [], []
+    for htemp in temps:
+        M = len(htemp)
+        padded = np.zeros((M, Fm, 4))
+        mask = np.zeros((M, Fm))
+        for i, p in enumerate(htemp):
+            k = min(p.shape[0], Fm)
+            padded[i, :k] = p[:k]
+            mask[i, :k] = 1.0
+        pads.append(padded)
+        mask_list.append(mask)
+        ii, jj = np.triu_indices(M, k=2)
+        spans.append((len(reqs_a), M, ii, jj))
+        for i, j in zip(ii, jj):
+            reqs_a.append((padded[i], mask[i]))
+            reqs_b.append((padded[j], mask[j]))
+
+    if reqs_a:
+        npair = len(reqs_a)
+        Bp = _bucket(npair)
+        pa = np.stack([r[0] for r in reqs_a] + [reqs_a[0][0]] * (Bp - npair))
+        ma = np.stack([r[1] for r in reqs_a] + [reqs_a[0][1]] * (Bp - npair))
+        pb = np.stack([r[0] for r in reqs_b] + [reqs_b[0][0]] * (Bp - npair))
+        mb = np.stack([r[1] for r in reqs_b] + [reqs_b[0][1]] * (Bp - npair))
+        ov_all = np.asarray(_overlap_jit()(
+            jnp.asarray(pa), jnp.asarray(ma), jnp.asarray(pb),
+            jnp.asarray(mb), eps=0.1))[:npair]
+    else:
+        ov_all = np.zeros((0,), bool)
+
+    out = []
+    for (off, M, ii, jj), htemp in zip(spans, temps):
+        omat = np.zeros((M, M), bool)
+        if len(ii):
+            ov = ov_all[off:off + len(ii)]
+            omat[ii, jj] = ov
+            omat[jj, ii] = ov
+        for i in range(M - 1):
+            omat[i, i + 1] = omat[i + 1, i] = True
+        indices = [M - 1]
+        i = M - 1
+        while i > 0:
+            for j in range(i):
+                if omat[i, j] or j == i - 1:
+                    indices.insert(0, j)
+                    i = j
+                    break
+        out.append([htemp[k] for k in indices])
+    return out

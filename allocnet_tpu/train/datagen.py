@@ -49,6 +49,55 @@ def random_pillar_map(seed: int, extent=(20.0, 20.0, 4.0), n_pillars=8,
     return np.concatenate(pts)
 
 
+def random_obstacle_map(seed: int, extent=(20.0, 20.0, 4.0)) -> np.ndarray:
+    """Varied synthetic clutter: pillars of random radius, axis-aligned box
+    walls, and floating slabs.  Broader corridor-shape distribution than
+    random_pillar_map (narrow gaps, overhangs, wall openings) for training
+    data diversity; density randomized per seed."""
+    rng = np.random.default_rng(seed)
+    ex = np.asarray(extent)
+    pts = []
+
+    for _ in range(int(rng.integers(5, 14))):
+        c = rng.uniform([2, 2, 0], [ex[0] - 2, ex[1] - 2, 0], size=3)
+        radius = rng.uniform(0.2, 0.7)
+        for zz in np.linspace(0, ex[2], 24):
+            ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+            pts.append(np.stack([c[0] + radius * np.cos(ang),
+                                 c[1] + radius * np.sin(ang),
+                                 np.full(12, zz)], axis=1))
+
+    # box obstacles: dense surface sampling of random cuboids
+    for _ in range(int(rng.integers(0, 4))):
+        c = rng.uniform([3, 3, 0.5], [ex[0] - 3, ex[1] - 3, ex[2] - 1])
+        half = rng.uniform([0.3, 0.3, 0.3], [1.2, 1.2, 1.0])
+        lo_b, hi_b = c - half, c + half
+        g = [np.linspace(lo_b[k], hi_b[k], max(2, int(6 * half[k]))) for k in range(3)]
+        for axis in range(3):
+            for side in (lo_b[axis], hi_b[axis]):
+                u, v = [k for k in range(3) if k != axis]
+                uu, vv = np.meshgrid(g[u], g[v])
+                face = np.zeros((uu.size, 3))
+                face[:, u] = uu.ravel()
+                face[:, v] = vv.ravel()
+                face[:, axis] = side
+                pts.append(face)
+
+    # a wall with an opening (forces up-and-over or through-the-gap routes)
+    if rng.random() < 0.5:
+        wx = rng.uniform(6, ex[0] - 6)
+        gap_c = rng.uniform([3, 0.8], [ex[1] - 3, ex[2] - 0.8])
+        gap_r = rng.uniform(1.0, 2.0)
+        ys = np.linspace(0, ex[1], 60)
+        zs = np.linspace(0, ex[2], 16)
+        yy, zz = np.meshgrid(ys, zs)
+        keep = (np.abs(yy - gap_c[0]) > gap_r) | (np.abs(zz - gap_c[1]) > gap_r * 0.6)
+        wall = np.stack([np.full(keep.sum(), wx), yy[keep], zz[keep]], axis=1)
+        pts.append(wall)
+
+    return np.concatenate(pts)
+
+
 def generate(
     cfg: AllocNetConfig,
     n_samples: int,
@@ -74,40 +123,61 @@ def generate(
     segs = np.zeros((n_samples,), np.int32)
 
     count, attempts = 0, 0
+    S = cfg.qp.max_seg
+    chunk = 256
     while count < n_samples and attempts < 20 * n_samples:
-        attempts += 1
-        start = rng.uniform(lo + 0.8, hi - 0.8)
-        goal = rng.uniform(lo + 0.8, hi - 0.8)
-        if np.linalg.norm(goal - start) < 0.4 * np.linalg.norm(hi - lo):
+        # sample a chunk of candidate (start, goal) pairs; corridors for the
+        # whole chunk run through the cross-plan batched pipeline
+        # (plan_corridors_batch) — one FIRI call, one overlap-LP call
+        want = min(chunk, 4 * (n_samples - count))
+        cand_s, cand_g = [], []
+        while len(cand_s) < want and attempts < 20 * n_samples:
+            attempts += 1
+            start = rng.uniform(lo + 0.8, hi - 0.8)
+            goal = rng.uniform(lo + 0.8, hi - 0.8)
+            if np.linalg.norm(goal - start) < 0.4 * np.linalg.norm(hi - lo):
+                continue
+            cand_s.append(start)
+            cand_g.append(goal)
+        if not cand_s:
+            break
+        plans = planner_lib.plan_corridors_batch(
+            pmap, np.asarray(cand_s), np.asarray(cand_g), cfg,
+            seed=int(rng.integers(1 << 30)))
+
+        keep = [(st, cp) for st, cp in zip(cand_s, plans)
+                if cp.ok and cp.seg >= 1]
+        if not keep:
             continue
-        cp = planner_lib.plan_corridor(pmap, start, goal, cfg,
-                                       seed=int(rng.integers(1 << 30)))
-        if not cp.ok or cp.seg < 1:
-            continue
-        state[count, 0, :, 0] = start
-        state[count, 1, :, 0] = cp.route[-1]
-        hpolys[count] = cp.hpolys
-        segs[count] = cp.seg
-        # per-segment reference times from the corridor's junction waypoints:
-        # interior points of consecutive-polytope intersections, the
-        # reference's get_inner_pts scheme (min_traj_opt.py:251-276)
-        waypts = [start]
-        if cp.seg > 1:
-            # one fixed-shape batched LP over all junctions (S-1 padded)
-            S = cfg.qp.max_seg
-            inter = np.zeros((S - 1, 2 * cp.hpolys.shape[1], 4))
+        # one fixed-shape batched interior-point LP over ALL junctions of
+        # ALL kept plans (the reference's get_inner_pts scheme,
+        # min_traj_opt.py:251-276, solved per-plan there)
+        K = len(keep)
+        inter = np.zeros((K, S - 1, 2 * cfg.qp.max_faces, 4))
+        for ki, (_, cp) in enumerate(keep):
             for i in range(cp.seg - 1):
-                inter[i] = np.concatenate([cp.hpolys[i], cp.hpolys[i + 1]])
-            mask = np.linalg.norm(inter[:, :, :3], axis=2) > 1e-6
-            pt, _ = _find_interior(jnp.asarray(inter),
-                                   jnp.asarray(mask, float))
+                inter[ki, i] = np.concatenate(
+                    [cp.hpolys[i], cp.hpolys[i + 1]])
+        flat = inter.reshape(K * (S - 1), 2 * cfg.qp.max_faces, 4)
+        mask = np.linalg.norm(flat[:, :, :3], axis=2) > 1e-6
+        pts, _ = _find_interior(jnp.asarray(flat), jnp.asarray(mask, float))
+        pts = np.asarray(pts).reshape(K, S - 1, 3)
+
+        for ki, (start, cp) in enumerate(keep):
+            if count >= n_samples:
+                break
+            state[count, 0, :, 0] = start
+            state[count, 1, :, 0] = cp.route[-1]
+            hpolys[count] = cp.hpolys
+            segs[count] = cp.seg
+            waypts = [start]
             for i in range(cp.seg - 1):
-                waypts.append(np.asarray(pt)[i])
-        waypts.append(cp.route[-1])
-        tlb = quintic_time_bounds(np.asarray(waypts),
-                                  cfg.qp.max_vel, cfg.qp.max_acc)
-        times[count, :cp.seg] = np.maximum(tlb, 0.3) * time_slack
-        count += 1
+                waypts.append(pts[ki, i])
+            waypts.append(cp.route[-1])
+            tlb = quintic_time_bounds(np.asarray(waypts),
+                                      cfg.qp.max_vel, cfg.qp.max_acc)
+            times[count, :cp.seg] = np.maximum(tlb, 0.3) * time_slack
+            count += 1
 
     sc = ScenarioBatch(state=state[:count], hpolys=hpolys[:count],
                        times=times[:count], seg=segs[:count])

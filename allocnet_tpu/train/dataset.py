@@ -125,3 +125,18 @@ class Loader:
         bs = self.batch_size
         for k in range(len(idx) // bs):
             yield self._gather(idx[k * bs:(k + 1) * bs])
+
+
+def read_h5_many(paths, cfg: QPConfig, seq_len: int | None = None) -> ScenarioBatch:
+    """Concatenate many shard files (scripts/gen_dataset.py layout) into one
+    ScenarioBatch; accepts a directory (all *.h5 inside, sorted) or a list."""
+    import glob
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(glob.glob(os.path.join(paths, "*.h5")))
+        else:
+            paths = [paths]
+    parts = [read_h5(p, cfg, seq_len) for p in paths]
+    return ScenarioBatch(*[np.concatenate([getattr(p, f) for p in parts])
+                           for f in ScenarioBatch._fields])

@@ -57,4 +57,35 @@ def main():
               f"solved={solved:.4f} max_pri={pri:.2e}")
 
 
-main()
+def compare_polish():
+    """LU vs LDL polish on the same real corridor batch."""
+    import dataclasses
+    cfg = QPConfig()
+    B = 1024
+    sc = scenarios.random_scenarios(cfg, B, seed=123, min_seg=1)
+    args = [jnp.asarray(sc.state, jnp.float32),
+            jnp.asarray(sc.hpolys, jnp.float32),
+            jnp.asarray(sc.times, jnp.float32), jnp.asarray(sc.seg)]
+    sols = {}
+    for method in ("lu", "ldl"):
+        scfg = SolverConfig(polish_method=method)
+        solve = jax.jit(lambda st, hp, tm, sg, s=scfg: admm.solve_qp(
+            qp.build_qp(cfg, st, hp, tm, sg), s))
+        sol = solve(*args)
+        float(np.asarray(sol.obj).sum())
+        t0 = time.time()
+        for _ in range(3):
+            sol = solve(*args)
+            float(np.asarray(sol.obj).sum())
+        dt = (time.time() - t0) / 3
+        solved = np.asarray(sol.solved)
+        print(f"{method}: {dt*1e3:7.1f} ms  {B/dt:6.0f}/s  "
+              f"solved={solved.mean():.4f}  polished={np.asarray(sol.polished).mean():.4f}")
+        sols[method] = sol
+    both = np.asarray(sols['lu'].solved) & np.asarray(sols['ldl'].solved)
+    dc = np.abs(np.asarray(sols['lu'].coeffs) - np.asarray(sols['ldl'].coeffs))
+    print(f"coeff parity on both-solved: max={dc[both].max():.2e} "
+          f"p99={np.percentile(dc[both], 99):.2e}")
+
+
+compare_polish() if __import__("os").environ.get("SWEEP_MODE") == "polish" else main()

@@ -8,6 +8,7 @@ import pytest
 from allocnet_tpu.config import AllocNetConfig, QPConfig, SolverConfig
 from allocnet_tpu.planner import planner as planner_lib
 from allocnet_tpu.planner import rrt, sfc
+from allocnet_tpu.train import datagen
 
 
 def _obstacle_map(seed=0):
@@ -104,3 +105,26 @@ def test_plan_many_end_to_end():
     # for corridor-successful plans the QP ran; trajectory shapes sane
     assert np.asarray(out.traj.coeffs).shape[0] == 2
     assert np.all(np.isfinite(np.asarray(out.traj.coeffs)))
+
+
+def test_batched_corridors_match_serial():
+    """plan_corridors_batch (cross-plan fused FIRI + overlap LPs) must give
+    the same corridors as the serial plan_corridor loop, route for route."""
+    cfg = AllocNetConfig()
+    points = datagen.random_pillar_map(3)
+    pmap = planner_lib.build_map(points, np.zeros(3), np.array([20.0, 20.0, 4.0]))
+    rng = np.random.default_rng(11)
+    starts = rng.uniform([1, 1, 0.5], [19, 19, 3.5], size=(6, 3))
+    goals = rng.uniform([1, 1, 0.5], [19, 19, 3.5], size=(6, 3))
+    batch = planner_lib.plan_corridors_batch(pmap, starts, goals, cfg, seed=77)
+    for b in range(6):
+        serial = planner_lib.plan_corridor(pmap, starts[b], goals[b], cfg,
+                                       seed=77 + b)
+        assert batch[b].ok == serial.ok, b
+        assert batch[b].reason == serial.reason, b
+        if serial.ok:
+            assert batch[b].seg == serial.seg, b
+            np.testing.assert_allclose(batch[b].hpolys, serial.hpolys,
+                                       atol=1e-6)
+            np.testing.assert_allclose(batch[b].route, serial.route,
+                                       atol=1e-6)
