@@ -231,6 +231,14 @@ for _cls in (QPConfig, SolverConfig, ModelConfig, LossConfig, TrainConfig,
 # Deployment operating point (planner.yaml): order=4, res=20, v<=4, a<=6.
 DEPLOY = AllocNetConfig()
 
+# Offline certification operating point (datagen): same QP, but the solver
+# runs enough ADMM iterations + active-set polish rounds to converge on the
+# degenerate real-corridor geometry (near-duplicate FIRI faces stall the
+# duals at deploy settings).  Measured on a 200-scenario hard batch:
+# deploy settings 79/200 solved, these 157/200; latency is an offline
+# concern only.
+CERTIFY_SOLVER = SolverConfig(polish_rounds=4, iters_per_chunk=250)
+
 # Training operating point (network configs): order per-config, res=10, v<=5, a<=7.
 TRAIN = AllocNetConfig(
     qp=QPConfig(order=4, res=10, max_vel=5.0, max_acc=7.0),

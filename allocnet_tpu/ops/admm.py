@@ -45,6 +45,8 @@ class QPSolution(NamedTuple):
     dua_res: jax.Array    # (B,) final max dual residual
     solved: jax.Array     # (B,) bool: residuals within tolerance + obj window
     polished: jax.Array   # (B,) bool: polish accepted
+    pri_rel: jax.Array    # (B,) pri_res / (1 + pri_scale): OSQP-normalized,
+    dua_rel: jax.Array    # (B,) dua_res / (1 + dua_scale): solved <=> < eps*10
 
 
 def _rho_tree(y: dict, rho_e: jax.Array, rho_i: jax.Array) -> dict:
@@ -95,7 +97,16 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     GEMM shaped).  The normal matrix M = sigma I + rho_e Aeq^T Aeq +
     rho_i G^T G is SPD by construction.
     """
-    L = jnp.linalg.cholesky(M)
+    # f32 roundoff in the assembled M reaches ~eps*lam_max, which can push
+    # lam_min slightly negative on ill-conditioned corridors (measured
+    # -1e-4 at lam_max 3e4) and NaN the factor.  Shift the diagonal by a
+    # RELATIVE jitter; the iterative-refinement step in the x-update (and
+    # ADMM's own tolerance of inexact x-updates) absorbs the perturbation.
+    mdiag = jnp.max(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)),
+                    axis=-1, keepdims=True)
+    rel = 2e-5 if M.dtype == jnp.float32 else 4e-14   # ~170*eps either way
+    jitter = rel * mdiag[..., None] * jnp.eye(M.shape[-1], dtype=M.dtype)
+    L = jnp.linalg.cholesky(M + jitter)
     eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
     Linv = jax.lax.linalg.triangular_solve(
         L, eye, left_side=True, lower=True)
@@ -238,11 +249,23 @@ def _gather_ineq_rows(data: QPData, idx: jax.Array):
     return rows, rhs
 
 
-def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
+def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat,
+           refine_sel: bool = False):
     """Active-set KKT solve with regularization + iterative refinement.
 
     Returns (x_pol, nu_pol, lam_full_pol, ok) where ok marks scenarios whose
     polished KKT residual beats the ADMM iterate's.
+
+    Two selection modes (batched active-set iteration across polish rounds):
+      * refine_sel=False (round 1, from the ADMM iterate): rows with a
+        positive dual estimate OR near-zero slack are candidates.
+      * refine_sel=True (later rounds, from a previous polish): `lam_flat`
+        carries SIGNED multipliers from that solve.  A row the previous
+        round wrongly activated comes back with a NEGATIVE multiplier and
+        ~zero slack — the old `slack < 1e-6` rule would re-select it forever
+        (the round-1 failure mode on real corridors).  Here a row is active
+        only if its signed multiplier is positive or it is strictly VIOLATED
+        at the current point, so wrong rows drop out and missed rows enter.
     """
     cfg = data.cfg
     dtype = x.dtype
@@ -256,10 +279,16 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
     ax_flat = qp.tree_flat(qp.apply_A(data, x), EQ_KEYS + INEQ_KEYS)[:, m_eq:]
     slack = h_flat - ax_flat
     scale = jnp.maximum(jnp.max(jnp.abs(lam_flat), axis=1, keepdims=True), 1.0)
-    score = lam_flat / scale - jnp.maximum(slack, 0.0)
-    _, idx = jax.lax.top_k(score, K)
-    active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-5 * scale) | (
-        jnp.take_along_axis(slack, idx, axis=1) < 1e-6)
+    if refine_sel:
+        score = lam_flat / scale - slack
+        _, idx = jax.lax.top_k(score, K)
+        active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-7 * scale) | (
+            jnp.take_along_axis(slack, idx, axis=1) < -1e-7)
+    else:
+        score = jnp.maximum(lam_flat, 0.0) / scale - jnp.maximum(slack, 0.0)
+        _, idx = jax.lax.top_k(score, K)
+        active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-5 * scale) | (
+            jnp.take_along_axis(slack, idx, axis=1) < 1e-6)
 
     G_act, h_act = _gather_ineq_rows(data, idx)
     G_act = G_act * active[..., None]
@@ -351,9 +380,14 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat):
     return x_pol, nu_pol, lam_full, idx
 
 
-def _full_residuals(data: QPData, x, nu, lam_flat, beq, h_flat):
+def _full_residuals(data: QPData, x, nu, lam_flat, beq, h_flat,
+                    with_scales: bool = False):
     """Primal/dual residual of a candidate (x, nu, lam) against the full
-    constraint set (lam as flat ineq duals, nu as eq duals)."""
+    constraint set (lam as flat ineq duals, nu as eq duals).
+
+    With with_scales=True also returns the OSQP relative-criterion scales
+    (osqp termination: pri <= eps_abs + eps_rel*max(|Ax|,|z|),
+    dua <= eps_abs + eps_rel*max(|Px|,|A'y|,|q|); q=0 for this QP)."""
     cfg = data.cfg
     B = x.shape[0]
     ax = qp.tree_flat(qp.apply_A(data, x), EQ_KEYS + INEQ_KEYS)
@@ -367,7 +401,17 @@ def _full_residuals(data: QPData, x, nu, lam_flat, beq, h_flat):
     px = qp.apply_P(data, x)
     aty = qp.apply_AT(data, y_tree)
     dua = jnp.max(jnp.abs((px + aty).reshape(B, -1)), axis=1)
-    return pri, dua
+    if not with_scales:
+        return pri, dua
+    # z = the feasible-set projection of Ax; bound |z| by max(|Ax|,|b|,|h|)
+    ax_mag = jnp.max(jnp.abs(ax), axis=1)
+    rhs_mag = jnp.maximum(jnp.max(jnp.abs(beq), axis=1),
+                          jnp.max(jnp.abs(h_flat), axis=1))
+    pri_scale = jnp.maximum(ax_mag, rhs_mag)
+    dua_scale = jnp.maximum(
+        jnp.max(jnp.abs(px.reshape(B, -1)), axis=1),
+        jnp.max(jnp.abs(aty.reshape(B, -1)), axis=1))
+    return pri, dua, pri_scale, dua_scale
 
 
 def unflatten_duals(data: QPData, y_flat: jax.Array) -> dict:
@@ -419,9 +463,18 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
     polished = jnp.zeros((B,), bool)
 
     if scfg.polish:
-        for _ in range(scfg.polish_rounds):
-            x_p, nu_p, lam_p, _ = polish(data, scfg, x, y, beq, h_flat, lam)
-            lam_p = jnp.maximum(lam_p, 0.0)
+        # batched active-set iteration: each round re-selects from the best
+        # point so far, with SIGNED multipliers from the previous KKT solve
+        # (wrong-sign rows deactivate, strictly violated rows activate —
+        # see polish() docstring).  x_sel/lam_sel drive selection and always
+        # advance to the latest finite polish point even when that point is
+        # not yet accepted, so a partially-wrong active set can correct
+        # itself over rounds.
+        x_sel, lam_sel = x, lam
+        for r in range(scfg.polish_rounds):
+            x_p, nu_p, lam_ps, _ = polish(data, scfg, x_sel, y, beq, h_flat,
+                                          lam_sel, refine_sel=(r > 0))
+            lam_p = jnp.maximum(lam_ps, 0.0)
             pri_p, dua_p = _full_residuals(data, x_p, nu_p, lam_p, beq, h_flat)
             finite = jnp.all(jnp.isfinite(x_p.reshape(B, -1)), axis=1)
             better = finite & (jnp.maximum(pri_p, dua_p) < jnp.maximum(pri_a, dua_a))
@@ -433,12 +486,22 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
             pri_a = jnp.where(better, pri_p, pri_a)
             dua_a = jnp.where(better, dua_p, dua_a)
             polished = polished | better
+            fpick = lambda a, b: jnp.where(
+                finite.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            x_sel = fpick(x_p, x_sel)
+            lam_sel = fpick(lam_ps, lam_sel)
 
     coeffs = qp.unscale_coeffs(data, x)
     obj = qp.objective(data, x)
-    # reference sanity window: reject obj > 5000 or < -0.01 (qp_solver.hpp:340-345)
+    # OSQP's relative termination criterion (osqp_api: eps_abs + eps_rel*scale;
+    # reference solves accept exactly this, qp_solver.hpp:298-358) plus the
+    # reference sanity window obj in (-0.01, 5000) (qp_solver.hpp:340-345).
+    _, _, pri_sc, dua_sc = _full_residuals(
+        data, x, nu, lam, beq, h_flat, with_scales=True)
+    tol_p = scfg.eps_abs * 10 + scfg.eps_rel * 10 * pri_sc
+    tol_d = scfg.eps_abs * 10 + scfg.eps_rel * 10 * dua_sc
     solved = (
-        (pri_a < scfg.eps_abs * 10) & (dua_a < scfg.eps_abs * 10)
+        (pri_a < tol_p) & (dua_a < tol_d)
         & (obj < 5000.0) & (obj > -0.01)
     )
     lam_tree = unflatten_duals(data, jnp.concatenate([nu * 0, lam], axis=1))
@@ -447,4 +510,5 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
     return QPSolution(
         x=x, coeffs=coeffs, obj=obj, nu=nu, lam=lam_tree,
         pri_res=pri_a, dua_res=dua_a, solved=solved, polished=polished,
+        pri_rel=pri_a / (1.0 + pri_sc), dua_rel=dua_a / (1.0 + dua_sc),
     )

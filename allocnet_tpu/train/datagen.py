@@ -159,9 +159,16 @@ def generate(
                 inter[ki, i] = np.concatenate(
                     [cp.hpolys[i], cp.hpolys[i + 1]])
         flat = inter.reshape(K * (S - 1), 2 * cfg.qp.max_faces, 4)
+        # bucket the LP batch size: an exact-shape jit here would recompile
+        # for every distinct chunk yield K (the round-2 datagen stall)
+        from allocnet_tpu.planner.sfc import _bucket
+        Bp = _bucket(flat.shape[0])
+        if Bp != flat.shape[0]:
+            flat = np.concatenate(
+                [flat, np.zeros((Bp - flat.shape[0],) + flat.shape[1:])])
         mask = np.linalg.norm(flat[:, :, :3], axis=2) > 1e-6
         pts, _ = _find_interior(jnp.asarray(flat), jnp.asarray(mask, float))
-        pts = np.asarray(pts).reshape(K, S - 1, 3)
+        pts = np.asarray(pts)[:K * (S - 1)].reshape(K, S - 1, 3)
 
         for ki, (start, cp) in enumerate(keep):
             if count >= n_samples:
@@ -200,7 +207,8 @@ def certify(cfg: AllocNetConfig, sc: ScenarioBatch) -> ScenarioBatch:
                        jnp.asarray(sc.hpolys, jnp.float32),
                        jnp.asarray(sc.times, jnp.float32),
                        jnp.asarray(sc.seg))
-    sol = admm.solve_qp(data, cfg.solver)
+    from allocnet_tpu import config as config_lib
+    sol = admm.solve_qp(data, config_lib.CERTIFY_SOLVER)
     keep = np.asarray(sol.solved)
     return ScenarioBatch(state=sc.state[keep], hpolys=sc.hpolys[keep],
                          times=sc.times[keep], seg=sc.seg[keep])
