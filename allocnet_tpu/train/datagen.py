@@ -12,6 +12,7 @@ feasibility-aware quintic bound over the corridor's inner waypoints.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -194,21 +195,37 @@ def generate(
     return sc
 
 
+_CERTIFY_JIT: dict = {}
+
+
 def certify(cfg: AllocNetConfig, sc: ScenarioBatch) -> ScenarioBatch:
     """Keep only samples whose QP solves with the reference times — an
     unsolvable reference time vector is a corrupt supervision target.
     (The reference has no such check; its training just routes those
-    samples to the fallback loss every epoch.)"""
-    from allocnet_tpu.ops import admm, qp
+    samples to the fallback loss every epoch.)
 
-    if sc.state.shape[0] == 0:
-        return sc
-    data = qp.build_qp(cfg.qp, jnp.asarray(sc.state, jnp.float32),
-                       jnp.asarray(sc.hpolys, jnp.float32),
-                       jnp.asarray(sc.times, jnp.float32),
-                       jnp.asarray(sc.seg))
+    The solve is jitted and the batch bucketed (padding repeats sample 0)
+    so per-map varying counts hit a handful of compiled programs instead
+    of one each."""
     from allocnet_tpu import config as config_lib
-    sol = admm.solve_qp(data, config_lib.CERTIFY_SOLVER)
-    keep = np.asarray(sol.solved)
+    from allocnet_tpu.ops import admm, qp
+    from allocnet_tpu.planner.sfc import _bucket
+
+    B = sc.state.shape[0]
+    if B == 0:
+        return sc
+    key = (cfg.qp, config_lib.CERTIFY_SOLVER)
+    if key not in _CERTIFY_JIT:
+        qcfg, scfg = key
+        _CERTIFY_JIT[key] = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+            qp.build_qp(qcfg, st, hp, tm, sg), scfg))
+    Bp = _bucket(B)
+    pad = lambda a: np.concatenate(
+        [a, np.repeat(a[:1], Bp - B, axis=0)]) if Bp != B else a
+    sol = _CERTIFY_JIT[key](jnp.asarray(pad(sc.state), jnp.float32),
+                            jnp.asarray(pad(sc.hpolys), jnp.float32),
+                            jnp.asarray(pad(sc.times), jnp.float32),
+                            jnp.asarray(pad(sc.seg)))
+    keep = np.asarray(sol.solved)[:B]
     return ScenarioBatch(state=sc.state[keep], hpolys=sc.hpolys[keep],
                          times=sc.times[keep], seg=sc.seg[keep])

@@ -32,10 +32,13 @@ def test_generate_dataset_roundtrip(tmp_path):
         start = sc.state[b, 0, :, 0]
         assert np.all(first[mask, :3] @ start <= first[mask, 3] + 1e-5)
 
-    # every certified sample must be solvable with the reference times
+    # every certified sample must be solvable with the reference times at
+    # the certification operating point (deploy settings may still stall on
+    # the hardest geometries; those route to the fallback loss in training)
+    from allocnet_tpu.config import CERTIFY_SOLVER
     data = qp.build_qp(cfg.qp, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
                        jnp.asarray(sc.times), jnp.asarray(sc.seg))
-    sol = admm.solve_qp(data, SolverConfig())
+    sol = admm.solve_qp(data, CERTIFY_SOLVER)
     assert int(np.asarray(sol.solved).sum()) == n
 
 
