@@ -124,10 +124,17 @@ class SolverConfig:
     # pivot magnitude); 1e-5 = the f32 polish delta, i.e. no extra
     # perturbation beyond what the LU path already uses.
     polish_ldl_delta: float = 1e-5
-    # run the ADMM chunks in the fused Pallas TPU kernel (VMEM-resident
-    # state, zero per-iteration HBM traffic); falls back to the XLA scan on
-    # non-deploy shapes or non-f32 dtypes.
-    use_pallas: bool = False
+    # run the ADMM chunks in the fused tiled Pallas TPU kernel (per-scenario
+    # matrices + solver state VMEM-resident across all iterations of a chunk,
+    # zero per-iteration HBM traffic); falls back to the XLA scan on
+    # unsupported shapes, non-f32 dtypes, or CPU backends.  Measured on v5e
+    # at B=1024 deploy shapes: 3173 solves/s vs 2191 for the XLA scan.
+    use_pallas: bool = True
+    # scenarios per kernel instance (grid = batch / tile).  Sweep on v5e:
+    # tile 8 -> 2860, 16 -> 3173, 32 -> 3069 solves/s; 16 balances MXU row
+    # utilization in the shared sampling matmuls against VMEM pressure from
+    # the (tile, NQ, NQ) fused inverse.
+    pallas_tile: int = 16
     # tolerance used for reporting/acceptance
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4

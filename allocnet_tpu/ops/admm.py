@@ -447,9 +447,9 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
 
     core = admm_solve
     if scfg.use_pallas and data.times.dtype == jnp.float32:
-        from allocnet_tpu.ops.pallas import admm_kernel
-        if admm_kernel.supported(cfg):
-            core = admm_kernel.admm_solve_pallas
+        from allocnet_tpu.ops.pallas import admm_tiled
+        if admm_tiled.supported(cfg) and jax.default_backend() != "cpu":
+            core = admm_tiled.admm_solve_tiled
 
     x, z, y, rho_e, rho_i, pri_admm, dua_admm = core(data, scfg, x0)
 
