@@ -47,14 +47,27 @@ def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:
 
 def replan_step(net, params, cfg: AllocNetConfig,
                 state: jax.Array, hpolys: jax.Array, seg: jax.Array,
-                prev: ReplanState):
+                prev: ReplanState, time_scale: float = 1.0,
+                warm: bool = True):
     """One replanning tick: net inference + warm-started QP.
+
+    warm=False runs the FULL solver budget with no warm start -- the cold
+    plan() semantics of the reference on a fresh goal
+    (learning_planning.cpp:143-188); warm=True is the incremental 10 Hz
+    budget seeded from the previous trajectory.
+
+    time_scale relaxes the predicted times uniformly -- the deployment
+    equivalent of the reference's time-factor slack on top of the per-segment
+    lower bound (min_traj_opt.py:113-133): a net whose times are aggressive
+    for the current dynamics limits makes the QP borderline-infeasible, and a
+    small uniform stretch restores the margin without replanning geometry.
 
     Returns (times, coeffs, solved, new ReplanState). Jit this once and call
     it at the control loop rate."""
     out = net.apply(params, packing.pack_state(state),
                     packing.pack_hpolys(hpolys))
     times, _ = out if isinstance(out, tuple) else (out, None)
+    times = times * time_scale
     S = cfg.qp.max_seg
     seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
     times_q = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), 1.0)
@@ -63,8 +76,8 @@ def replan_step(net, params, cfg: AllocNetConfig,
     x0 = qp.scale_coeffs(data, prev.coeffs)
     x0 = x0 * prev.have_prev.astype(x0.dtype).reshape(-1, 1, 1, 1)
 
-    warm = warm_solver_config(cfg.solver)
-    sol = admm.solve_qp(data, warm, x0=x0)
+    scfg = warm_solver_config(cfg.solver) if warm else cfg.solver
+    sol = admm.solve_qp(data, scfg, x0=x0 if warm else None)
 
     new_prev = ReplanState(
         coeffs=jnp.where(sol.solved.reshape(-1, 1, 1, 1), sol.coeffs,

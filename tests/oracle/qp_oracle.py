@@ -183,6 +183,9 @@ def solve_dense(Q, A, b, G, h, iters=40000, rho=0.1, rho_eq_scale=1e3,
         if it % 1000 == 999:
             pri = np.max(np.abs(As @ x - z))
             dua = np.max(np.abs(Qs @ x + As.T @ y))
+            # keep this strict: exiting at 1e-9 was measured to change the
+            # refinement active set enough to push one golden case's KKT
+            # certificate from <1e-7 to 1.1e-7, and saves no wall time.
             if pri < 1e-11 and dua < 1e-11:
                 break
 

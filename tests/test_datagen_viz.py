@@ -4,6 +4,9 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow     # full datagen round-trips: ~2 min
 
 from allocnet_tpu.config import AllocNetConfig, QPConfig, SolverConfig
 from allocnet_tpu.ops import admm, qp

@@ -9,6 +9,7 @@ inverse) against the plain XLA ADMM on identical scenarios.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from allocnet_tpu.config import QPConfig, SolverConfig
 from allocnet_tpu.ops import admm, qp
@@ -33,6 +34,7 @@ def _solve_both(cfg, scfg, sc):
     return ref, sol
 
 
+@pytest.mark.slow
 def test_tiled_full_solve_matches_xla():
     """ADMM core swapped for the tiled Pallas kernel (interpret mode) must
     produce the same post-polish solutions and flags as the XLA path."""
@@ -49,6 +51,7 @@ def test_tiled_full_solve_matches_xla():
     assert diff[both].max() < 1e-3
 
 
+@pytest.mark.slow
 def test_tiled_training_shape():
     """The TRAIN operating point (res=10, min-snap) solves identically too --
     the tiled kernel supports every padded shape, unlike its per-scenario
