@@ -251,6 +251,16 @@ TRAIN = AllocNetConfig(
     qp=QPConfig(order=4, res=10, max_vel=5.0, max_acc=7.0),
 )
 
+# Phase-1 training operating point: same QP structure with the reference's
+# phase-1 box limits (params.yaml phase1_physical_limits: v<=5, a<=8) and the
+# time-factor parametrization T_i = tlb_i * (1 + factor_i)
+# (min_traj_opt.py:113-133, fill_phase1_ineq :616-697 — structurally the
+# phase-2 fill with different dyn_limits).
+PHASE1 = AllocNetConfig(
+    qp=QPConfig(order=4, res=10, max_vel=5.0, max_acc=8.0),
+    model=ModelConfig(use_time_factor=True),
+)
+
 
 def jerk(cfg: QPConfig) -> QPConfig:
     return dataclasses.replace(cfg, order=3)

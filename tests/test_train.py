@@ -158,3 +158,40 @@ def test_initialize_distributed_fails_loudly(monkeypatch):
     import pytest
     with pytest.raises(RuntimeError):
         m.initialize_distributed()
+
+
+def test_phase1_operating_point():
+    """The reference's PHASE-1 training mode as a mode (config.PHASE1):
+    time-factor parametrization + the phase-1 box limits v<=5, a<=8
+    (params.yaml phase1_physical_limits; fill_phase1_ineq
+    min_traj_opt.py:616-697 is the phase-2 fill with different dyn_limits).
+    A generous factor over tlb must give a SOLVED phase-1 QP, and the
+    training step must run with finite loss."""
+    from allocnet_tpu import config as config_lib
+    from allocnet_tpu.ops import admm, qp
+    from allocnet_tpu.utils.scenarios import corridor_time_lower_bounds
+
+    p1 = config_lib.PHASE1
+    assert p1.model.use_time_factor
+    assert (p1.qp.max_vel, p1.qp.max_acc) == (5.0, 8.0)
+
+    state, hpolys, seg, ref_times = _batch(B=4, seed=50)
+    tlb = corridor_time_lower_bounds(
+        np.asarray(hpolys), np.asarray(state), np.asarray(seg),
+        p1.qp.max_vel, p1.qp.max_acc)
+    seg_mask = (np.arange(p1.qp.max_seg)[None, :]
+                < np.asarray(seg)[:, None]).astype(np.float32)
+    # factor 1.2 over the lower bound (the certified-supervision slack zone)
+    times = np.where(seg_mask > 0, tlb * (1.0 + 1.2), 1.0)
+    data = qp.build_qp(p1.qp, state, hpolys,
+                       jnp.asarray(times, jnp.float32), seg)
+    sol = admm.solve_qp(data, config_lib.CERTIFY_SOLVER)
+    assert np.asarray(sol.solved).any()
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=32, token_thresh=0.42)
+    ts = ts_lib.init_state(net, TCFG, state, hpolys)
+    step = jax.jit(lambda t, a, b, c, d, e: ts_lib.train_step(
+        t, net, TCFG, p1.qp, SCFG, LCFG, a, b, c, d, tlb=e))
+    ts2, bundle = step(ts, state, hpolys, seg, ref_times,
+                       jnp.asarray(tlb, jnp.float32))
+    assert np.isfinite(float(bundle.total))
