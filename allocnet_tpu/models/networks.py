@@ -24,6 +24,21 @@ import jax
 import jax.numpy as jnp
 
 
+# Kaiming-normal for TORCH-layout weights.  All parameters here keep the
+# reference's (out, in) / (out_ch, in_ch, k...) layouts so shipped torch
+# checkpoints import rename-free — but flax's kaiming_normal() defaults to
+# in_axis=-2/out_axis=-1 (the (in, out) convention), which computes fan_in
+# from the OUTPUT dimension.  Measured consequence before this fix: the MLP
+# time head (5, 256) was initialized with fan_in=5 (std 13.8x too large),
+# its pre-activations started at |x|~40, and whichever output slots landed
+# in softplus's f32-underflow zone were born with exactly-zero gradient and
+# never recovered (one dead segment slot => 0.67 time ratio forever).
+_torch_linear_init = nn.initializers.variance_scaling(
+    2.0, "fan_in", "truncated_normal", in_axis=-1, out_axis=-2)
+_torch_conv_init = nn.initializers.variance_scaling(
+    2.0, "fan_in", "truncated_normal", in_axis=1, out_axis=0)
+
+
 def _linear(x, w, b):
     """torch nn.Linear: y = x @ W^T + b, W: (out, in). Params follow the
     input dtype (tests init under x64 while driving f32 inputs)."""
@@ -39,10 +54,10 @@ class HpolyEncoder(nn.Module):
     @nn.compact
     def __call__(self, hpolys: jax.Array) -> jax.Array:
         flat_in = 16 if self.seq_len == 5 else 32
-        w = self.param('conv_w', nn.initializers.kaiming_normal(),
+        w = self.param('conv_w', _torch_conv_init,
                        (16, 50, 3, 3))
         b = self.param('conv_b', nn.initializers.zeros, (16,))
-        lw = self.param('lin_w', nn.initializers.kaiming_normal(),
+        lw = self.param('lin_w', _torch_linear_init,
                         (32, flat_in))
         lb = self.param('lin_b', nn.initializers.zeros, (32,))
 
@@ -68,9 +83,9 @@ class StateEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, state: jax.Array) -> jax.Array:
-        w = self.param('conv_w', nn.initializers.kaiming_normal(), (8, 9, 3))
+        w = self.param('conv_w', _torch_conv_init, (8, 9, 3))
         b = self.param('conv_b', nn.initializers.zeros, (8,))
-        lw = self.param('lin_w', nn.initializers.kaiming_normal(), (6, 8))
+        lw = self.param('lin_w', _torch_linear_init, (6, 8))
         lb = self.param('lin_b', nn.initializers.zeros, (6,))
 
         x = jax.lax.conv_general_dilated(
@@ -111,7 +126,7 @@ class ConvLSTMAllocNet(nn.Module):
         self.hpoly_enc = HpolyEncoder(seq_len=self.seq_len)
         self.state_enc = StateEncoder()
         h, i = self.hidden_size, 38
-        init = nn.initializers.kaiming_normal()
+        init = _torch_linear_init
         self.w_ih = self.param('w_ih', init, (4 * h, i))
         self.w_hh = self.param('w_hh', init, (4 * h, h))
         self.b_ih = self.param('b_ih', nn.initializers.zeros, (4 * h,))
@@ -170,7 +185,7 @@ class ConvMLPAllocNet(nn.Module):
     def setup(self):
         self.hpoly_enc = HpolyEncoder(seq_len=self.seq_len)
         self.state_enc = StateEncoder()
-        init = nn.initializers.kaiming_normal()
+        init = _torch_linear_init
         h = self.hidden_size
         self.l1_w = self.param('l1_w', init, (h, 38))
         self.l1_b = self.param('l1_b', nn.initializers.zeros, (h,))
@@ -181,7 +196,14 @@ class ConvMLPAllocNet(nn.Module):
         self.ln2_s = self.param('ln2_s', nn.initializers.ones, (h,))
         self.ln2_b = self.param('ln2_b', nn.initializers.zeros, (h,))
         self.l3_w = self.param('l3_w', init, (self.seg, h))
-        self.l3_b = self.param('l3_b', nn.initializers.zeros, (self.seg,))
+        # bias starts at 1.0, NOT 0: softplus(beta=2) has a dead zone below
+        # ~-2 and a zero-initialized head lets early Adam steps push a slot's
+        # pre-activation there permanently (measured: slot 0 saturated to
+        # 7e-11s and its gradient to 0 while slots 1-3 fit exactly).  1.0
+        # puts every slot at ~1.06 s — alive gradient at the time scale of
+        # real segments.  Import parity is unaffected (loaded checkpoints
+        # overwrite the init).
+        self.l3_b = self.param('l3_b', nn.initializers.ones, (self.seg,))
 
     def _layernorm(self, x, s, b):
         mu = x.mean(-1, keepdims=True)
