@@ -74,6 +74,34 @@ def test_mlp_shapes_and_positivity():
     assert np.all(np.asarray(times) > 0)   # Softplus output
 
 
+def test_init_fan_in_and_live_slots():
+    """Regression for the torch-layout init bug (commit cc115fe): weights are
+    stored (out, in) but flax's kaiming default computed fan_in from the
+    OUTPUT axis — the MLP time head (5, 256) got std sqrt(2/5) instead of
+    sqrt(2/256) (13.8x oversized) and softplus slots were born dead with
+    exactly-zero gradient. Locks: (a) init std follows true fan_in, (b) every
+    fresh-init time slot is alive across seeds."""
+    rng = np.random.default_rng(4)
+    state, hpolys = _random_inputs(rng, B=32)
+    for seed in range(3):
+        net = ConvMLPAllocNet(seg=5, hidden_size=256)
+        params = net.init(jax.random.PRNGKey(seed), jnp.asarray(state),
+                          jnp.asarray(hpolys))
+        w = np.asarray(params["params"]["l3_w"])        # (5, 256)
+        assert abs(w.std() - np.sqrt(2 / 256)) < 0.25 * np.sqrt(2 / 256)
+        times = np.asarray(net.apply(params, jnp.asarray(state),
+                                     jnp.asarray(hpolys),
+                                     deterministic=True))
+        # a dead slot saturates softplus to ~1e-11 for every input
+        assert times.min() > 1e-3, f"dead time slot at init (seed {seed})"
+
+    lstm = ConvLSTMAllocNet(seq_len=5, hidden_size=256)
+    lp = lstm.init(jax.random.PRNGKey(0), jnp.asarray(state),
+                   jnp.asarray(hpolys))
+    w_ih = np.asarray(lp["params"]["w_ih"])             # (1024, 38)
+    assert abs(w_ih.std() - np.sqrt(2 / 38)) < 0.25 * np.sqrt(2 / 38)
+
+
 def test_packing_roundtrip():
     rng = np.random.default_rng(3)
     state = jnp.asarray(rng.normal(size=(4, 2, 3, 3)))
