@@ -66,7 +66,17 @@ def fresh_scenarios(n: int, seed0: int = 9000) -> ScenarioBatch:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    # usage: eval_big.py [n] [--run runs/xyz] [--thresh 0.42]
+    workdir, thresh, n = WORKDIR, cfg.model.token_thresh, 2000
+    argv = sys.argv[1:]
+    while argv:
+        a = argv.pop(0)
+        if a == "--run":
+            workdir = os.path.abspath(argv.pop(0))
+        elif a == "--thresh":
+            thresh = float(argv.pop(0))
+        else:
+            n = int(a)
     if os.path.exists(CACHE):
         z = np.load(CACHE)
         sc = ScenarioBatch(state=z["state"], hpolys=z["hpolys"],
@@ -76,21 +86,25 @@ def main():
         np.savez(CACHE, state=sc.state, hpolys=sc.hpolys, times=sc.times,
                  seg=sc.seg)
 
-    net = ConvLSTMAllocNet(seq_len=cfg.model.seq_len,
-                           hidden_size=cfg.model.hidden_size,
-                           token_thresh=cfg.model.token_thresh)
+    import dataclasses
+    ecfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, token_thresh=thresh))
+    net = ConvLSTMAllocNet(seq_len=ecfg.model.seq_len,
+                           hidden_size=ecfg.model.hidden_size,
+                           token_thresh=thresh)
     s0 = jnp.asarray(sc.state[:1], jnp.float32)
     h0 = jnp.asarray(sc.hpolys[:1], jnp.float32)
-    template = ts_lib.init_state(net, cfg.train, s0, h0)
-    path = trainer_lib.latest_checkpoint(os.path.join(WORKDIR, "checkpoints"))
-    assert path, "no checkpoint found"
+    template = ts_lib.init_state(net, ecfg.train, s0, h0)
+    path = trainer_lib.latest_checkpoint(os.path.join(workdir, "checkpoints"))
+    assert path, f"no checkpoint under {workdir}"
     ts, epoch = trainer_lib.restore_checkpoint(path, template)
     print(f"restored {path} (epoch {epoch}, step {int(ts.step)})", flush=True)
 
-    rep = evaluate.evaluate(net, ts.params, cfg, sc)
+    rep = evaluate.evaluate(net, ts.params, ecfg, sc)
     out = dict(rep._asdict(), checkpoint=os.path.basename(path),
-               epoch=epoch, fresh_maps=True, seed0=9000)
-    with open(os.path.join(WORKDIR, "eval_fresh.json"), "w") as f:
+               epoch=epoch, fresh_maps=True, seed0=9000,
+               token_thresh=thresh)
+    with open(os.path.join(workdir, "eval_fresh.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
