@@ -144,3 +144,42 @@ def test_big_run_checkpoint_regression():
     assert rep.success_rate >= 0.68, rep
     assert rep.stop_token_accuracy >= 0.72, rep
     assert 0.9 <= rep.mean_time_ratio <= 1.1, rep
+
+
+def test_big3_flagship_checkpoint_regression():
+    """The round-2 flagship (runs/big3: 100k certified corridors from 400
+    maps, 35 epochs, fixed fan-in init, supervised wt+wp) must hold its
+    never-seen-map quality: 88.6% success / 97.8% stop-token accuracy on the
+    full 2k fresh-map eval (runs/big3/eval_fresh.json).  Bars leave ~4 sigma
+    of binomial margin for the 192-sample committed subset."""
+    import jax.numpy as jnp
+
+    from allocnet_tpu.config import ModelConfig, SolverConfig as SC
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+    from allocnet_tpu.train import evaluate, train_step as ts_lib
+    from allocnet_tpu.utils.scenarios import ScenarioBatch
+
+    root = os.path.join(os.path.dirname(__file__), "..", "runs", "big3")
+    subset = os.path.join(root, "eval_subset.npz")
+    if not os.path.exists(subset):
+        import pytest
+        pytest.skip("big3-run artifacts not present")
+
+    cfg = AllocNetConfig(qp=QPConfig(res=10, max_vel=5.0, max_acc=7.0),
+                         solver=SC(polish_rounds=4, iters_per_chunk=250),
+                         model=ModelConfig(hidden_size=256))
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256,
+                           token_thresh=cfg.model.token_thresh)
+    z = np.load(subset)
+    vs = ScenarioBatch(state=z["state"], hpolys=z["hpolys"],
+                       times=z["times"], seg=z["seg"])
+    ts = ts_lib.init_state(net, cfg.train,
+                           jnp.asarray(vs.state[:2], jnp.float32),
+                           jnp.asarray(vs.hpolys[:2], jnp.float32))
+    ck = trainer_lib.latest_checkpoint(os.path.join(root, "checkpoints"))
+    assert ck is not None
+    ts, _ = trainer_lib.restore_checkpoint(ck, ts)
+    rep = evaluate.evaluate(net, ts.params, cfg, vs, batch_size=64)
+    assert rep.success_rate >= 0.78, rep
+    assert rep.stop_token_accuracy >= 0.92, rep
+    assert 0.9 <= rep.mean_time_ratio <= 1.1, rep
