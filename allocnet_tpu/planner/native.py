@@ -47,6 +47,9 @@ def _load():
     lib.simplify_path.restype = ctypes.c_int
     lib.simplify_path.argtypes = [ctypes.c_void_p, d, ctypes.c_int, d,
                                   ctypes.c_int]
+    lib.cloud_crop_windows.restype = ctypes.c_int
+    lib.cloud_crop_windows.argtypes = [d, ctypes.c_int, d, d, ctypes.c_int,
+                                       ctypes.c_double, d, d, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -57,6 +60,28 @@ def available() -> bool:
 
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def crop_windows(points: np.ndarray, lo_bs: np.ndarray, hi_bs: np.ndarray,
+                 n_max: int, cell: float = 1.0):
+    """Batched corridor-window crop via the C++ CSR grid index
+    (cloud_crop_windows).  Returns (pts (W, n_max, 3) padded with 1e9,
+    mask (W, n_max)) with the same semantics as the NumPy `_crop` in
+    planner/sfc.py: strictly-inside points, original cloud order, first
+    n_max.  Raises RuntimeError when the native runtime is unavailable —
+    callers fall back to the NumPy path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    pts = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 3)
+    lo = np.ascontiguousarray(lo_bs, dtype=np.float64).reshape(-1, 3)
+    hi = np.ascontiguousarray(hi_bs, dtype=np.float64).reshape(-1, 3)
+    W = len(lo)
+    out = np.empty((W, n_max, 3), dtype=np.float64)
+    mask = np.empty((W, n_max), dtype=np.float64)
+    lib.cloud_crop_windows(_dp(pts), len(pts), _dp(lo), _dp(hi), W, cell,
+                           _dp(out), _dp(mask), n_max)
+    return out, mask
 
 
 class NativeGrid:

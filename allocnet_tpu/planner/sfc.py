@@ -39,10 +39,16 @@ def walk_route(route: np.ndarray, progress: float) -> list[tuple[np.ndarray, np.
     return windows
 
 
-def window_bounds(a, b, rng, lo, hi) -> np.ndarray:
-    """Axis-aligned crop box rows a.x <= b (sfc_gen.hpp:153-158)."""
+def window_box(a, b, rng, lo, hi) -> tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned crop box corners (sfc_gen.hpp:153-158)."""
     hi_b = np.minimum(np.maximum(a, b) + rng, hi)
     lo_b = np.maximum(np.minimum(a, b) - rng, lo)
+    return lo_b, hi_b
+
+
+def window_bounds(a, b, rng, lo, hi) -> np.ndarray:
+    """Axis-aligned crop box rows a.x <= b (sfc_gen.hpp:153-158)."""
+    lo_b, hi_b = window_box(a, b, rng, lo, hi)
     rows = []
     for j in range(3):
         e = np.zeros(3); e[j] = 1.0
@@ -51,18 +57,26 @@ def window_bounds(a, b, rng, lo, hi) -> np.ndarray:
     return np.asarray(rows)
 
 
-def _crop(points: np.ndarray, bd: np.ndarray, n_max: int):
-    """Points strictly inside the crop box, padded to n_max."""
-    if len(points) == 0:
-        sel = points.reshape(0, 3)
-    else:
-        inside = np.max(points @ bd[:, :3].T - bd[:, 3], axis=1) < 0.0
-        sel = points[inside][:n_max]
-    out = np.full((n_max, 3), 1e9)
-    out[:len(sel)] = sel
-    mask = np.zeros(n_max)
-    mask[:len(sel)] = 1.0
-    return out, mask
+def _crop_windows(points: np.ndarray, lo_bs: np.ndarray, hi_bs: np.ndarray,
+                  n_max: int):
+    """Crop the cloud against many windows: C++ CSR grid index when the
+    native runtime is built (runtime/allocnet_native.cpp cloud_crop_windows,
+    O(n + cells-covered) instead of O(windows * n)), NumPy otherwise."""
+    try:
+        from allocnet_tpu.planner import native
+        return native.crop_windows(points, lo_bs, hi_bs, n_max)
+    except Exception:
+        W = len(lo_bs)
+        pcs = np.full((W, n_max, 3), 1e9)
+        masks = np.zeros((W, n_max))
+        for k in range(W):
+            if len(points):
+                inside = np.all((points > lo_bs[k]) & (points < hi_bs[k]),
+                                axis=1)
+                sel = points[inside][:n_max]
+                pcs[k, :len(sel)] = sel
+                masks[k, :len(sel)] = 1.0
+        return pcs, masks
 
 
 def _bucket(n: int) -> int:
@@ -125,11 +139,12 @@ def convex_cover(
     windows = walk_route(route, ccfg.progress)
     B = len(windows)
     bds = np.zeros((B, 6, 4))
-    pcs = np.zeros((B, n_points, 3))
-    masks = np.zeros((B, n_points))
+    los = np.zeros((B, 3))
+    his = np.zeros((B, 3))
     for k, (a, b) in enumerate(windows):
         bds[k] = window_bounds(a, b, ccfg.range_xy, lo, hi)
-        pcs[k], masks[k] = _crop(points, bds[k], n_points)
+        los[k], his[k] = window_box(a, b, ccfg.range_xy, lo, hi)
+    pcs, masks = _crop_windows(points, los, his, n_points)
 
     seeds_a = np.asarray([w[0] for w in windows])
     seeds_b = np.asarray([w[1] for w in windows])
@@ -269,11 +284,12 @@ def convex_cover_many(
 
     B = len(all_windows)
     bds = np.zeros((B, 6, 4))
-    pcs = np.zeros((B, n_points, 3))
-    masks = np.zeros((B, n_points))
+    los = np.zeros((B, 3))
+    his = np.zeros((B, 3))
     for k, (a, b) in enumerate(all_windows):
         bds[k] = window_bounds(a, b, ccfg.range_xy, lo, hi)
-        pcs[k], masks[k] = _crop(points, bds[k], n_points)
+        los[k], his[k] = window_box(a, b, ccfg.range_xy, lo, hi)
+    pcs, masks = _crop_windows(points, los, his, n_points)
     seeds_a = np.asarray([w[0] for w in all_windows])
     seeds_b = np.asarray([w[1] for w in all_windows])
 

@@ -18,9 +18,13 @@
 //                  double* out_path, int max_pts);   // returns #waypoints
 //   int   simplify_path(void* grid, const double* path, int n,
 //                       double* out, int max_pts);
+//   int   cloud_crop_windows(const double* pts, int n, const double* lo_bs,
+//                            const double* hi_bs, int n_windows, double cell,
+//                            double* out_pts, double* out_mask, int n_max);
 //
 // Build: make -C runtime   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -185,6 +189,106 @@ int rrt_plan(void* grid, const double* start, const double* goal, double step,
                             3 * sizeof(double));
             std::memcpy(out_path + 3 * w, goal, 3 * sizeof(double));
             return total;
+        }
+    }
+    return 0;
+}
+
+// Batched corridor-window crop (the convexCover inner crop,
+// sfc_gen.hpp:161-168).  The Python pipeline crops the map's surface cloud
+// against every window's axis-aligned box before FIRI; done in NumPy that is
+// O(n_windows * n) full-cloud scans and dominates datagen host time.  Here:
+// one CSR uniform-grid index over the cloud (O(n)), then each window only
+// scans the cells its box covers.  Output matches the NumPy semantics
+// exactly: points STRICTLY inside (lo, hi), first n_max in original cloud
+// order, padded with 1e9, mask 1.0 on valid rows.
+int cloud_crop_windows(const double* pts, int n, const double* lo_bs,
+                       const double* hi_bs, int n_windows, double cell,
+                       double* out_pts, double* out_mask, int n_max) {
+    if (n_windows <= 0 || n_max <= 0) return 0;
+    for (long long k = 0; k < (long long)n_windows * n_max; ++k) {
+        out_pts[3 * k] = 1e9;
+        out_pts[3 * k + 1] = 1e9;
+        out_pts[3 * k + 2] = 1e9;
+        out_mask[k] = 0.0;
+    }
+    if (n <= 0) return 0;
+    if (cell <= 0.0) cell = 1.0;
+
+    double mn[3] = {pts[0], pts[1], pts[2]};
+    double mx[3] = {pts[0], pts[1], pts[2]};
+    for (int i = 1; i < n; ++i)
+        for (int j = 0; j < 3; ++j) {
+            double v = pts[3 * i + j];
+            if (v < mn[j]) mn[j] = v;
+            if (v > mx[j]) mx[j] = v;
+        }
+    int dim[3];
+    for (int j = 0; j < 3; ++j) {
+        dim[j] = (int)((mx[j] - mn[j]) / cell) + 1;
+        if (dim[j] < 1) dim[j] = 1;
+        if (dim[j] > 1024) dim[j] = 1024;  // cap memory; cells just get fatter
+    }
+    const double inv_cell[3] = {dim[0] / (mx[0] - mn[0] + 1e-12),
+                                dim[1] / (mx[1] - mn[1] + 1e-12),
+                                dim[2] / (mx[2] - mn[2] + 1e-12)};
+    auto cell_of = [&](double v, int j) {
+        int c = (int)((v - mn[j]) * inv_cell[j]);
+        if (c < 0) c = 0;
+        if (c >= dim[j]) c = dim[j] - 1;
+        return c;
+    };
+
+    const size_t ncell = (size_t)dim[0] * dim[1] * dim[2];
+    std::vector<int> start(ncell + 1, 0);
+    std::vector<int> idx(n);
+    for (int i = 0; i < n; ++i) {
+        size_t c = ((size_t)cell_of(pts[3 * i], 0) * dim[1] +
+                    cell_of(pts[3 * i + 1], 1)) * dim[2] +
+                   cell_of(pts[3 * i + 2], 2);
+        ++start[c + 1];
+    }
+    for (size_t c = 0; c < ncell; ++c) start[c + 1] += start[c];
+    {
+        std::vector<int> cursor(start.begin(), start.end() - 1);
+        for (int i = 0; i < n; ++i) {
+            size_t c = ((size_t)cell_of(pts[3 * i], 0) * dim[1] +
+                        cell_of(pts[3 * i + 1], 1)) * dim[2] +
+                       cell_of(pts[3 * i + 2], 2);
+            idx[cursor[c]++] = i;  // stable: within a cell, original order
+        }
+    }
+
+    std::vector<int> sel;
+    for (int w = 0; w < n_windows; ++w) {
+        const double* lo = lo_bs + 3 * w;
+        const double* hi = hi_bs + 3 * w;
+        if (lo[0] >= hi[0] || lo[1] >= hi[1] || lo[2] >= hi[2]) continue;
+        int c0[3], c1[3];
+        for (int j = 0; j < 3; ++j) {
+            c0[j] = cell_of(lo[j], j);
+            c1[j] = cell_of(hi[j], j);
+        }
+        sel.clear();
+        for (int x = c0[0]; x <= c1[0]; ++x)
+            for (int y = c0[1]; y <= c1[1]; ++y) {
+                size_t base = ((size_t)x * dim[1] + y) * dim[2];
+                int a = start[base + c0[2]];
+                int b = start[base + c1[2] + 1];  // z-cells are contiguous
+                for (int k = a; k < b; ++k) {
+                    const double* p = pts + 3 * idx[k];
+                    if (p[0] > lo[0] && p[0] < hi[0] && p[1] > lo[1] &&
+                        p[1] < hi[1] && p[2] > lo[2] && p[2] < hi[2])
+                        sel.push_back(idx[k]);
+                }
+            }
+        std::sort(sel.begin(), sel.end());  // original cloud order
+        int m = (int)sel.size() < n_max ? (int)sel.size() : n_max;
+        double* op = out_pts + (long long)3 * w * n_max;
+        double* om = out_mask + (long long)w * n_max;
+        for (int k = 0; k < m; ++k) {
+            std::memcpy(op + 3 * k, pts + 3 * sel[k], 3 * sizeof(double));
+            om[k] = 1.0;
         }
     }
     return 0;
