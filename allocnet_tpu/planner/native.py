@@ -47,9 +47,11 @@ def _load():
     lib.simplify_path.restype = ctypes.c_int
     lib.simplify_path.argtypes = [ctypes.c_void_p, d, ctypes.c_int, d,
                                   ctypes.c_int]
-    lib.cloud_crop_windows.restype = ctypes.c_int
-    lib.cloud_crop_windows.argtypes = [d, ctypes.c_int, d, d, ctypes.c_int,
-                                       ctypes.c_double, d, d, ctypes.c_int]
+    if hasattr(lib, "cloud_crop_windows"):   # absent in pre-round-2 builds
+        lib.cloud_crop_windows.restype = ctypes.c_int
+        lib.cloud_crop_windows.argtypes = [d, ctypes.c_int, d, d,
+                                           ctypes.c_int, ctypes.c_double,
+                                           d, d, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -71,7 +73,7 @@ def crop_windows(points: np.ndarray, lo_bs: np.ndarray, hi_bs: np.ndarray,
     n_max.  Raises RuntimeError when the native runtime is unavailable —
     callers fall back to the NumPy path."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "cloud_crop_windows"):
         raise RuntimeError("native runtime unavailable")
     pts = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 3)
     lo = np.ascontiguousarray(lo_bs, dtype=np.float64).reshape(-1, 3)
