@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from allocnet_tpu.config import QPConfig, SolverConfig
 from allocnet_tpu.models import packing
 from allocnet_tpu.ops import admm, qp
+from allocnet_tpu.planner import refine as refine_lib
 
 
 class PlanResult(NamedTuple):
@@ -35,12 +36,19 @@ def plan_batch(
     state: jax.Array,    # (B, 2, 3, 3)
     hpolys: jax.Array,   # (B, S, F, 4) normalized a.x <= b
     seg: jax.Array,      # (B,)
+    refine_steps: int = 0,
 ) -> PlanResult:
     """Network inference + batched QP solve.
 
     The reference gates on any predicted time < 1e-10 for an active segment
     (learning_planner.hpp:181-189); we keep that check but clamp times for
     the padded solve so the whole batch still executes fixed-shape.
+
+    ``refine_steps > 0`` additionally runs MINCO-style time refinement
+    (planner/refine.py) between the network and the final solve: the net's
+    total time is redistributed across segments by gradient descent through
+    the differentiable QP — a capability the reference does not have (it
+    deploys the predicted times verbatim, learning_planner.hpp:174-179).
     """
     stacked_state = packing.pack_state(state)
     stacked_hpolys = packing.pack_hpolys(hpolys)
@@ -51,6 +59,11 @@ def plan_batch(
     S = cfg.max_seg
     seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
     times_ok = jnp.all(jnp.where(seg_mask > 0, times > 1e-10, True), axis=1)
+
+    if refine_steps > 0:
+        ref = refine_lib.refine_times(cfg, scfg, state, hpolys, times, seg,
+                                      steps=refine_steps)
+        times = ref.times + (1.0 - seg_mask)  # padded slots inert, not zero
 
     data = qp.build_qp(cfg, state, hpolys, times, seg)
     sol = admm.solve_qp(data, scfg)

@@ -180,6 +180,7 @@ def plan_many(
     goals: np.ndarray,           # (B, 3)
     net, params, cfg: AllocNetConfig,
     seed: int = 0,
+    refine_steps: int = 0,
 ) -> PlanOutput:
     """Batch of full plans: corridors on host+TPU, then ONE batched
     net+QP solve for every successful corridor."""
@@ -208,6 +209,6 @@ def plan_many(
     res = pipeline.plan_batch(
         net, params, cfg.qp, cfg.solver,
         jnp.asarray(state, jnp.float32), jnp.asarray(hp, jnp.float32),
-        jnp.asarray(segs))
+        jnp.asarray(segs), refine_steps=refine_steps)
     traj = trajectory.from_solution(res.coeffs, res.times, jnp.asarray(segs))
     return PlanOutput(result=res, traj=traj, corridor_ok=oks, reasons=reasons)

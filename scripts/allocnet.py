@@ -101,7 +101,7 @@ def cmd_plan(args):
     pmap = planner_lib.build_map(points, lo, hi)
     out = planner_lib.plan_many(
         pmap, np.asarray([args.start]), np.asarray([args.goal]),
-        net, params, cfg, seed=args.seed)
+        net, params, cfg, seed=args.seed, refine_steps=args.refine)
     os.makedirs(args.out, exist_ok=True)
     ok = bool(out.corridor_ok[0]) and bool(np.asarray(out.result.ok)[0])
     reason = out.reasons[0]
@@ -163,6 +163,10 @@ def main():
     pl.add_argument("--checkpoint", required=True)
     pl.add_argument("--out", default="artifacts")
     pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--refine", type=int, default=0, metavar="STEPS",
+                    help="MINCO-style time-refinement steps (0 = off): "
+                         "redistribute the net's total time across segments "
+                         "by gradient descent through the differentiable QP")
     pl.set_defaults(fn=cmd_plan)
 
     ex = sub.add_parser("export")

@@ -1,0 +1,134 @@
+"""MINCO-style time refinement (planner/refine.py).
+
+No reference counterpart: the reference deploys network times verbatim
+(learning_planner.hpp:174-179).  We check the refinement's contract instead:
+monotone objective, exact total-time conservation in fix_total mode, bounds
+in free mode, and strict improvement from a deliberately skewed allocation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from allocnet_tpu.config import QPConfig, SolverConfig
+from allocnet_tpu.ops import qp, admm
+from allocnet_tpu.planner import refine
+from allocnet_tpu.utils import scenarios
+
+CFG = QPConfig(order=4, res=10)
+SCFG = SolverConfig(n_chunks=2, iters_per_chunk=75, polish_rounds=2)
+
+
+def _skewed_batch(n=3, seed=11):
+    """Solvable scenarios whose times are skewed away from the heuristic."""
+    sc = scenarios.random_scenarios(CFG, n, seed=seed, min_seg=3)
+    times = np.array(sc.times)
+    S = CFG.max_seg
+    for b in range(n):
+        k = int(sc.seg[b])
+        scale = np.where(np.arange(S) % 2 == 0, 1.5, 1.0 / 1.5)
+        times[b, :k] *= scale[:k]
+    return (jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
+            jnp.asarray(times), jnp.asarray(sc.seg))
+
+
+def _snap_cost(state, hpolys, times, seg):
+    data = qp.build_qp(CFG, state, hpolys, times, seg)
+    sol = admm.solve_qp(data, SCFG)
+    return np.asarray(sol.obj), np.asarray(sol.solved)
+
+
+def test_fix_total_improves_and_conserves():
+    state, hpolys, times, seg = _skewed_batch(n=2)
+    obj_in, solved_in = _snap_cost(state, hpolys, times, seg)
+    assert solved_in.all(), "fixture must start solvable"
+
+    res = refine.refine_times(CFG, SCFG, state, hpolys, times, seg, steps=4)
+
+    # monotone: never worse than the input allocation
+    assert bool(jnp.all(res.obj <= res.obj0 + 1e-9))
+    # the skewed start leaves room: at least one scenario strictly improves
+    assert bool(jnp.any(res.improved))
+
+    S = CFG.max_seg
+    seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(res.times * seg_mask, axis=1)),
+        np.asarray(jnp.sum(jnp.maximum(times, 0.05) * seg_mask, axis=1)),
+        rtol=1e-6)
+
+    # the refined allocation solves, with snap cost <= the input's
+    t_solve = res.times + (1.0 - seg_mask)
+    obj_ref, solved_ref = _snap_cost(state, hpolys, t_solve, seg)
+    assert solved_ref.all()
+    imp = np.asarray(res.improved)
+    assert (obj_ref[imp] <= obj_in[imp] + 1e-6).all()
+
+
+@pytest.mark.slow
+def test_free_time_mode_bounds_and_descent():
+    state, hpolys, times, seg = _skewed_batch(n=2, seed=17)
+    res = refine.refine_times(CFG, SCFG, state, hpolys, times, seg,
+                              steps=4, rho=1.0, fix_total=False,
+                              t_min=0.05, t_max=20.0)
+    assert bool(jnp.all(res.obj <= res.obj0 + 1e-9))
+    S = CFG.max_seg
+    seg_mask = np.asarray(
+        (jnp.arange(S)[None, :] < seg[:, None])).astype(bool)
+    t = np.asarray(res.times)
+    assert (t[seg_mask] >= 0.05 - 1e-9).all()
+    assert (t[seg_mask] <= 20.0 + 1e-9).all()
+
+
+@pytest.mark.slow
+def test_unsolved_scenarios_pass_through():
+    state, hpolys, times, seg = _skewed_batch(n=2, seed=23)
+    # make scenario 0 unsolvable: absurdly small times violate the boxes
+    times = times.at[0].set(jnp.where(times[0] > 0, 1e-3, times[0]))
+    _, solved_in = _snap_cost(state, hpolys,
+                              times + (times <= 0), seg)
+    assert not solved_in[0]
+
+    res = refine.refine_times(CFG, SCFG, state, hpolys, times, seg, steps=3)
+    S = CFG.max_seg
+    seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
+    np.testing.assert_allclose(np.asarray(res.times[0]),
+                               np.asarray(times[0] * seg_mask[0]))
+    assert not bool(res.improved[0])
+
+
+@pytest.mark.slow
+def test_plan_many_with_refinement():
+    """End-to-end: the --refine path produces solved plans whose QP objective
+    is no worse than the unrefined ones (same corridors, same net)."""
+    import jax
+    from allocnet_tpu.config import AllocNetConfig
+    from allocnet_tpu.models import import_torch
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+    from allocnet_tpu.planner import planner as planner_lib
+    from allocnet_tpu.train import datagen
+
+    pts = datagen.random_pillar_map(1)
+    cfg = AllocNetConfig(qp=QPConfig(res=10),
+                         solver=SolverConfig(n_chunks=2, iters_per_chunk=75))
+    pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
+                                 dilate_r=2)
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
+    params = import_torch.load_torchscript_lstm(
+        "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt")
+    params = jax.tree.map(jnp.asarray, params)
+
+    starts = np.array([[1.0, 1.0, 1.5]])
+    goals = np.array([[18.0, 18.0, 2.0]])
+    base = planner_lib.plan_many(pmap, starts, goals, net, params, cfg)
+    ref = planner_lib.plan_many(pmap, starts, goals, net, params, cfg,
+                                refine_steps=3)
+    assert base.corridor_ok[0]
+    if bool(np.asarray(base.result.solved)[0]):
+        assert bool(np.asarray(ref.result.solved)[0])
+        assert (float(np.asarray(ref.result.obj)[0])
+                <= float(np.asarray(base.result.obj)[0]) + 1e-5)
+        # total mission time conserved by fix_total refinement
+        np.testing.assert_allclose(
+            float(np.asarray(ref.result.times).sum()),
+            float(np.asarray(base.result.times).sum()), rtol=1e-5)
