@@ -52,3 +52,19 @@ if [ ! -f runs/ablation/mlp_probe2/results.json ]; then
 fi
 
 echo "chain done $(date -u +%H:%M:%S)"
+
+# stage 5: self-distillation — refine the 100k corpus's time targets
+# through the differentiable QP (restartable per-chunk)
+if [ -f data/big100k_combined.npz ] && [ ! -f data/big100k_refined.npz ]; then
+  timeout 21600 python scripts/refine_targets.py > runs/refine_targets.log 2>&1
+  echo "refine_targets rc=$? $(date -u +%H:%M:%S)"
+fi
+
+# stage 6: controlled retrain on the refined targets (big3 hyperparams)
+if [ -f data/big100k_refined.npz ] && [ ! -f runs/big4/eval_fresh.json ]; then
+  mkdir -p runs/big4
+  timeout 43200 python scripts/train_big4.py > runs/big4/train.log 2>&1
+  echo "train_big4 rc=$? $(date -u +%H:%M:%S)"
+fi
+
+echo "chain done (incl. distillation) $(date -u +%H:%M:%S)"
