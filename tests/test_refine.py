@@ -132,3 +132,62 @@ def test_plan_many_with_refinement():
         np.testing.assert_allclose(
             float(np.asarray(ref.result.times).sum()),
             float(np.asarray(base.result.times).sum()), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_flagship_refinement_regression():
+    """The committed claim (runs/refine/results.json): refinement of the
+    flagship's predicted times lowers the snap cost at conserved mission
+    time.  Re-checked here on a subset of the committed eval artifacts with
+    a CI-budget solver (the full-budget numbers come from
+    scripts/eval_refine.py)."""
+    import os
+    import jax
+    from allocnet_tpu.config import AllocNetConfig, ModelConfig
+    from allocnet_tpu.config import QPConfig as QC, SolverConfig as SC
+    from allocnet_tpu.models import packing
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+    from allocnet_tpu.train import trainer as trainer_lib
+    from allocnet_tpu.train import train_step as ts_lib
+
+    root = os.path.join(os.path.dirname(__file__), "..", "runs", "big3")
+    subset = os.path.join(root, "eval_subset.npz")
+    if not os.path.exists(subset):
+        pytest.skip("big3-run artifacts not present")
+
+    cfg = AllocNetConfig(qp=QC(res=10, max_vel=5.0, max_acc=7.0),
+                         solver=SC(n_chunks=2, iters_per_chunk=100,
+                                   polish_rounds=2),
+                         model=ModelConfig(hidden_size=256))
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256,
+                           token_thresh=cfg.model.token_thresh)
+    z = np.load(subset)
+    B = 16
+    state = jnp.asarray(z["state"][:B], jnp.float32)
+    hpolys = jnp.asarray(z["hpolys"][:B], jnp.float32)
+    seg = jnp.asarray(z["seg"][:B])
+    ts = ts_lib.init_state(net, cfg.train, state[:2], hpolys[:2])
+    ck = trainer_lib.latest_checkpoint(os.path.join(root, "checkpoints"))
+    ts, _ = trainer_lib.restore_checkpoint(ck, ts)
+
+    out = net.apply(ts.params, packing.pack_state(state),
+                    packing.pack_hpolys(hpolys))
+    times = out[0] if isinstance(out, tuple) else out
+    S = cfg.qp.max_seg
+    seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
+    t0 = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), 1.0)
+
+    res = refine.refine_times(cfg.qp, cfg.solver, state, hpolys, t0, seg,
+                              steps=3)
+    ok0 = np.asarray(res.obj0) < 1e29
+    assert ok0.sum() >= B // 2, "flagship times should mostly solve"
+    imp = np.asarray(res.improved)
+    rel = ((np.asarray(res.obj0) - np.asarray(res.obj))
+           / np.maximum(np.asarray(res.obj0), 1e-9))
+    # the committed full-budget numbers are -22% mean / 81% improved; with a
+    # CI-budget solver and 3 steps we still require a solid improvement
+    assert imp[ok0].mean() >= 0.4
+    assert rel[ok0].mean() >= 0.02
+    tsum0 = np.asarray(jnp.sum(t0 * seg_mask, axis=1))
+    tsum1 = np.asarray(jnp.sum(res.times * seg_mask, axis=1))
+    np.testing.assert_allclose(tsum1[ok0], tsum0[ok0], rtol=1e-5)
