@@ -48,7 +48,7 @@ def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:
 def replan_step(net, params, cfg: AllocNetConfig,
                 state: jax.Array, hpolys: jax.Array, seg: jax.Array,
                 prev: ReplanState, time_scale: float = 1.0,
-                warm: bool = True):
+                warm: bool = True, refine_steps: int = 0):
     """One replanning tick: net inference + warm-started QP.
 
     warm=False runs the FULL solver budget with no warm start -- the cold
@@ -62,6 +62,11 @@ def replan_step(net, params, cfg: AllocNetConfig,
     for the current dynamics limits makes the QP borderline-infeasible, and a
     small uniform stretch restores the margin without replanning geometry.
 
+    refine_steps > 0 additionally refines the predicted allocation through
+    the differentiable QP (planner/refine.py, fixed-total mode) at the warm
+    iteration budget before the final solve — each step costs ~2 reduced-
+    budget solves, so 2-4 steps fit a 100 ms tick at B=1 on-chip.
+
     Returns (times, coeffs, solved, new ReplanState). Jit this once and call
     it at the control loop rate."""
     out = net.apply(params, packing.pack_state(state),
@@ -71,6 +76,14 @@ def replan_step(net, params, cfg: AllocNetConfig,
     S = cfg.qp.max_seg
     seg_mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(times.dtype)
     times_q = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), 1.0)
+
+    if refine_steps > 0:
+        from allocnet_tpu.planner import refine as refine_lib
+        ref_scfg = warm_solver_config(cfg.solver) if warm else cfg.solver
+        ref = refine_lib.refine_times(cfg.qp, ref_scfg, state, hpolys,
+                                      times_q, seg, steps=refine_steps)
+        times_q = ref.times + (1.0 - seg_mask)
+        times = jnp.where(seg_mask > 0, times_q, times)
 
     data = qp.build_qp(cfg.qp, state, hpolys, times_q, seg)
     x0 = qp.scale_coeffs(data, prev.coeffs)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from allocnet_tpu.config import AllocNetConfig, QPConfig, SolverConfig
 from allocnet_tpu.models import import_torch
@@ -65,3 +66,36 @@ def test_replan_loop_with_network():
         times, coeffs, solved, prev = step(st, hp, seg, prev)
     assert np.all(np.isfinite(np.asarray(coeffs)))
     assert prev.have_prev.dtype == bool
+
+
+@pytest.mark.slow
+def test_replan_step_with_refinement():
+    """refine_steps>0 inside the replan tick: still solves, conserves the
+    predicted total duration, and never raises the QP objective."""
+    cfg = AllocNetConfig(qp=QPConfig(res=10),
+                         solver=SolverConfig(n_chunks=2, iters_per_chunk=100))
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
+    params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(
+        "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
+
+    sc = scenarios.random_scenarios(cfg.qp, 2, seed=73, min_seg=2)
+    st = jnp.asarray(sc.state, jnp.float32)
+    hp = jnp.asarray(sc.hpolys, jnp.float32)
+    seg = jnp.asarray(sc.seg)
+    prev = replan.init_state(2, cfg)
+
+    t_base, c_base, s_base, _ = jax.jit(
+        lambda: replan.replan_step(net, params, cfg, st, hp, seg, prev,
+                                   warm=False))()
+    t_ref, c_ref, s_ref, _ = jax.jit(
+        lambda: replan.replan_step(net, params, cfg, st, hp, seg, prev,
+                                   warm=False, refine_steps=2))()
+
+    assert np.all(np.isfinite(np.asarray(c_ref)))
+    base_solved = np.asarray(s_base)
+    # refinement must not lose solved scenarios
+    assert (np.asarray(s_ref) | ~base_solved).all()
+    # total predicted duration conserved where the baseline solved
+    np.testing.assert_allclose(
+        np.asarray(t_ref).sum(1)[base_solved],
+        np.asarray(t_base).sum(1)[base_solved], rtol=1e-5)
