@@ -100,12 +100,13 @@ def trim_passed(hpolys: np.ndarray, seg: int, p: np.ndarray):
 
 
 def _device_tick(net, cfg: AllocNetConfig, dt: float, params, time_scale,
-                 warm, state9, hpolys, seg, prev: replan.ReplanState):
+                 warm, refine_steps, state9, hpolys, seg,
+                 prev: replan.ReplanState):
     """state9 (B,2,3,3) -> replan -> advance along the new trajectory by dt.
     Returns (times, coeffs, solved, advanced p/v/a, new ReplanState)."""
     times, coeffs, solved, new_prev = replan.replan_step(
         net, params, cfg, state9, hpolys, seg, prev, time_scale=time_scale,
-        warm=warm)
+        warm=warm, refine_steps=refine_steps)
     traj = trajectory.from_solution(coeffs, times, seg)
     B = coeffs.shape[0]
     st = trajectory.eval_state(
@@ -115,10 +116,11 @@ def _device_tick(net, cfg: AllocNetConfig, dt: float, params, time_scale,
 
 
 def make_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
-              time_scale: float = 1.0, warm: bool = True):
+              time_scale: float = 1.0, warm: bool = True,
+              refine_steps: int = 0):
     """Jit-compiled device tick closure; one compilation per corridor shape."""
     return jax.jit(functools.partial(_device_tick, net, cfg, 1.0 / rate_hz,
-                                     params, time_scale, warm))
+                                     params, time_scale, warm, refine_steps))
 
 
 class Driver:
@@ -126,7 +128,7 @@ class Driver:
 
     def __init__(self, net, params, cfg: AllocNetConfig,
                  rate_hz: float = 10.0, telemetry_hz: float = 1000.0,
-                 time_scale: float = 1.0):
+                 time_scale: float = 1.0, refine_steps: int = 0):
         self.net, self.params, self.cfg = net, params, cfg
         self.rate_hz = rate_hz
         self.telemetry_hz = telemetry_hz
@@ -134,9 +136,9 @@ class Driver:
         # warm tick = the incremental low-latency budget seeded from the
         # previous trajectory.  The driver picks per tick by have_prev.
         self._tick_warm = make_tick(net, cfg, params, rate_hz, time_scale,
-                                    warm=True)
+                                    warm=True, refine_steps=refine_steps)
         self._tick_cold = make_tick(net, cfg, params, rate_hz, time_scale,
-                                    warm=False)
+                                    warm=False, refine_steps=refine_steps)
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
         return DriverState(
@@ -208,7 +210,7 @@ class Driver:
 
 def onchip_tick_cost(net, params, cfg: AllocNetConfig, state9, hpolys, seg,
                      n_ticks: int = 50, rate_hz: float = 10.0,
-                     time_scale: float = 1.0):
+                     time_scale: float = 1.0, refine_steps: int = 0):
     """Pure on-chip per-tick cost: n_ticks chained on device via lax.scan
     (state advanced along each new trajectory, fixed corridor), one host
     round trip total.  Separates solver latency from tunnel/dispatch RTT,
@@ -218,8 +220,8 @@ def onchip_tick_cost(net, params, cfg: AllocNetConfig, state9, hpolys, seg,
     def body(carry, _):
         state9, prev = carry
         times, coeffs, solved, adv, prev = _device_tick(
-            net, cfg, dt, params, time_scale, True, state9, hpolys, seg,
-            prev)
+            net, cfg, dt, params, time_scale, True, refine_steps, state9,
+            hpolys, seg, prev)
         okf = solved.astype(state9.dtype).reshape(-1, 1, 1)
         new0 = jnp.transpose(adv, (0, 2, 1)) * okf \
             + state9[:, 0] * (1.0 - okf)
