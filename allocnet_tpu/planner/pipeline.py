@@ -61,7 +61,12 @@ def plan_batch(
     times_ok = jnp.all(jnp.where(seg_mask > 0, times > 1e-10, True), axis=1)
 
     if refine_steps > 0:
-        ref = refine_lib.refine_times(cfg, scfg, state, hpolys, times, seg,
+        # clamp to refine's t_min BEFORE the call (matching replan_step):
+        # refine_times conserves the total of the clamped allocation, so an
+        # active time in (1e-10, 0.05) would otherwise silently inflate the
+        # mission duration being "preserved"
+        times_c = jnp.where(seg_mask > 0, jnp.maximum(times, 0.05), times)
+        ref = refine_lib.refine_times(cfg, scfg, state, hpolys, times_c, seg,
                                       steps=refine_steps)
         times = ref.times + (1.0 - seg_mask)  # padded slots inert, not zero
 

@@ -24,9 +24,11 @@ Two modes:
 
 The loop is a fixed-``steps`` ``lax.scan`` of accept/reject gradient steps
 with per-scenario adaptive step size (halve on reject, grow on accept), so
-it is fully batched, fixed-shape, and monotone: the returned allocation is
-never worse than the input one (scenarios whose QP fails at the input point
-are passed through untouched).
+it is fully batched, fixed-shape, and monotone: the refined allocation is
+returned only where it strictly beats the objective measured at the raw
+input allocation, so the result is never worse than the input (a scenario
+whose QP fails at the input point still upgrades to any feasible refined
+point the descent finds).
 """
 
 from __future__ import annotations
@@ -84,9 +86,18 @@ def refine_times(
     def theta_to_times(theta):
         if fix_total:
             logits = jnp.where(seg_mask > 0, theta, -jnp.inf)
-            p = jax.nn.softmax(logits, axis=1)
-            # floor every active fraction at min_frac, preserving the sum
-            p = (1.0 - min_frac * n_act) * p + min_frac * seg_mask
+            p = jax.nn.softmax(logits, axis=1) * seg_mask
+            # deficit-only floor: raise fractions below min_frac to min_frac
+            # and take the surplus proportionally from the above-floor
+            # entries.  Unlike a blanket affine pull toward uniform, this is
+            # the IDENTITY whenever every active fraction already clears the
+            # floor — so theta0 maps to exactly the input allocation and
+            # f0/obj0 measure the true input objective.
+            pf = jnp.maximum(p, min_frac) * seg_mask
+            deficit = jnp.sum(pf - p, axis=1, keepdims=True)
+            above = jnp.maximum(p - min_frac, 0.0) * seg_mask
+            denom = jnp.maximum(jnp.sum(above, axis=1, keepdims=True), 1e-12)
+            p = pf - deficit * above / denom
             return t_tot * p
         t = jnp.exp(theta)
         return jnp.clip(t, t_min, t_max) * seg_mask + (1.0 - seg_mask)
@@ -104,6 +115,17 @@ def refine_times(
     (_, f0), g0 = jax.value_and_grad(phi, has_aux=True)(theta0)
     g0 = g0 * seg_mask
 
+    # baseline objective at the RAW (t_min-clamped) input allocation — one
+    # extra forward solve.  theta0 maps to the same point whenever every
+    # input fraction clears min_frac, but when the deficit floor engages the
+    # floored start can be strictly worse than the input; measuring the
+    # baseline here makes the "never worse than the input" guarantee real.
+    t_raw = t0_safe * seg_mask + (1.0 - seg_mask)
+    coeffs_raw, sol_raw = qp_diff.solve(cfg, scfg, state, hpolys, t_raw, seg)
+    J_raw = qp_diff.objective(cfg, state, hpolys, t_raw, seg, coeffs_raw)
+    f_raw = J_raw + rho * jnp.sum(t_raw * seg_mask, axis=1)
+    f_raw = jnp.where(sol_raw.solved & jnp.isfinite(f_raw), f_raw, _BAD)
+
     def step(carry, _):
         theta_b, f_b, g_b, step_sz = carry
         cand = theta_b - step_sz[:, None] * g_b
@@ -120,8 +142,12 @@ def refine_times(
     init = (theta0, f0, g0, jnp.full((times.shape[0],), lr, dtype))
     (theta_b, f_b, _, _), _ = jax.lax.scan(step, init, None, length=steps)
 
-    t_ref = theta_to_times(theta_b) * seg_mask
-    # scenarios unsolved at the input point pass through untouched
-    ok0 = f0 < _BAD
-    t_ref = jnp.where(ok0[:, None], t_ref, times * seg_mask)
-    return RefineResult(times=t_ref, obj=f_b, obj0=f0, improved=f_b < f0)
+    # accept the refined allocation only where it strictly beats the RAW
+    # input objective; otherwise pass the input through untouched (this also
+    # covers scenarios unsolved at the input point, where f_raw = _BAD but a
+    # feasible refined point still counts as an improvement).
+    improved = f_b < f_raw
+    t_ref = jnp.where(improved[:, None], theta_to_times(theta_b) * seg_mask,
+                      times * seg_mask)
+    obj = jnp.where(improved, f_b, f_raw)
+    return RefineResult(times=t_ref, obj=obj, obj0=f_raw, improved=improved)

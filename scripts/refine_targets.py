@@ -39,6 +39,20 @@ cfg = AllocNetConfig(qp=QPConfig(res=10, max_vel=5.0, max_acc=7.0),
                      solver=CERTIFY_SOLVER)
 
 
+def _check_part(zz, c, chunk, steps, n, path):
+    """Validate a cached chunk against the current run's chunking; legacy
+    parts without metadata are rejected too (they predate the refine.py
+    baseline fix and may carry floored-start targets)."""
+    want = {"start": c * chunk, "stop": min((c + 1) * chunk, n),
+            "steps": steps, "n_total": n}
+    for k, v in want.items():
+        if k not in zz.files or int(zz[k]) != v:
+            raise SystemExit(
+                f"stale/incompatible cache {path}: expected {k}={v}, "
+                f"got {zz[k] if k in zz.files else 'missing'} — delete "
+                f"{PARTS} or rerun with the original --chunk/--steps")
+
+
 def main():
     global PARTS
     src, out, chunk, steps = IN, OUT, CHUNK, STEPS
@@ -69,6 +83,9 @@ def main():
     for c in range(n_chunks):
         part = os.path.join(PARTS, f"chunk_{c:05d}.npz")
         if os.path.exists(part):
+            zz = np.load(part)
+            _check_part(zz, c, chunk, steps, n, part)
+            improved += int(zz["improved"].sum())
             continue
         sl = slice(c * chunk, min((c + 1) * chunk, n))
         # pad the tail chunk to the compiled batch size
@@ -85,7 +102,10 @@ def main():
         obj1 = np.asarray(res.obj)[:len(idx)]
         ok = obj0 < 1e29
         rel = np.where(ok, (obj0 - obj1) / np.maximum(obj0, 1e-9), 0.0)
-        np.savez(part, times=t_ref, improved=imp, rel=rel)
+        # cache keyed by content, not just filename: a resume with a
+        # different --chunk/--steps/source must not silently misassemble
+        np.savez(part, times=t_ref, improved=imp, rel=rel,
+                 start=sl.start, stop=sl.stop, steps=steps, n_total=n)
         improved += int(imp.sum())
         if c % 10 == 0:
             print(json.dumps({"chunk": c, "of": n_chunks,
@@ -96,13 +116,18 @@ def main():
     imp_all = np.zeros(n, bool)
     rel_all = np.zeros(n)
     for c in range(n_chunks):
-        zz = np.load(os.path.join(PARTS, f"chunk_{c:05d}.npz"))
+        part = os.path.join(PARTS, f"chunk_{c:05d}.npz")
+        zz = np.load(part)
+        _check_part(zz, c, chunk, steps, n, part)
         sl = slice(c * chunk, min((c + 1) * chunk, n))
         k = sl.stop - sl.start
         mask = np.arange(S)[None] < seg[sl][:, None]
-        # refined times are masked (0 on padding); keep original padding vals
-        t_out[sl] = np.where(mask, zz["times"][:k], times[sl])
-        imp_all[sl] = zz["improved"][:k]
+        # rewrite only strictly-improved samples (refine_times already passes
+        # unimproved ones through, this makes the contract explicit); keep
+        # original padding values
+        imp = zz["improved"][:k]
+        t_out[sl] = np.where(mask & imp[:, None], zz["times"][:k], times[sl])
+        imp_all[sl] = imp
         rel_all[sl] = zz["rel"][:k]
     np.savez(out, state=state, hpolys=hpolys, times=t_out, seg=seg)
     stats = {"n": int(n), "steps": steps,

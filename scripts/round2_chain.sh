@@ -51,7 +51,7 @@ if [ ! -f runs/ablation/mlp_probe2/results.json ]; then
   echo "mlp_probe2 rc=$? $(date -u +%H:%M:%S)"
 fi
 
-echo "chain done $(date -u +%H:%M:%S)"
+echo "chain stages 1-4 done $(date -u +%H:%M:%S)"
 
 # stage 5: self-distillation — refine the 100k corpus's time targets
 # through the differentiable QP (restartable per-chunk)
