@@ -3,23 +3,43 @@
 The reference plans once per goal click (learning_planning.cpp:143-188) and
 then only SAMPLES the fixed trajectory at 1 kHz (process(), :217-304).  This
 driver goes further -- the BASELINE 10 Hz replanning budget: every tick it
+re-solves the corridor QP from the current vehicle state and advances along
+the refreshed trajectory.
 
-  1. advances the vehicle state along the previously-planned trajectory by
-     the tick period (simulating perfect tracking, like the reference's
-     odometry-free visualization loop),
-  2. trims corridor polytopes the vehicle has already passed (host-side
-     point-in-polytope tests; the reference instead rebuilds the corridor on
-     every goal change, learning_planner.hpp:243-306),
-  3. replans from the advanced state with the warm-started low-latency QP
-     entry point (replan.replan_step: net inference + 1-chunk ADMM + polish),
-  4. emits 1 kHz control telemetry for the tick interval
-     (control.control_horizon -> speed/thrust/tilt/body-rate).
+Design (round-3 rewrite): warm ticks are **feasible by construction**.
+The previous tick's accepted trajectory, restricted to [dt, T], is an exact
+solution of the next tick's QP -- same corridor suffix, time allocation
+(t_i - dt, t_{i+1}, ..., t_n), and the re-rooted polynomial coefficients
+(trajectory.taylor_shift) as the warm start.  The tick therefore
 
-A goal change mid-run swaps the corridor (host front-end) and the warm start
-is dropped for that tick -- exactly the reference's cold-replan semantics.
+  1. re-solves the QP from the pinned current state with that warm start
+     (reduced iteration budget; the solve can only improve the remainder),
+  2. falls back to TRACKING the shifted previous plan when the solve does
+     not converge -- progress never stalls, exactly the reference's
+     plan-once-then-track semantics (learning_planning.cpp:217-304),
+  3. advances the vehicle state along the accepted trajectory by the tick
+     period and rolls the corridor/plan/time bookkeeping forward (segments
+     whose remaining time would fall below t_min are snapped to the next
+     junction, keeping every junction exactly aligned),
+  4. nudges the pinned position a few mm inside the current polytope and
+     clips velocity/acceleration to the box -- the constraint grid is
+     re-sampled over the new segment span, so a state advanced along the
+     previous plan can sit marginally outside between old sample points
+     (the reference has the same sampled-constraint gap, qp_solver.hpp:
+     255-296; its goal refinement plays the same role,
+     min_traj_opt.py:214-232).
+
+The allocation NETWORK runs only on cold ticks (reset / goal change), like
+the reference's once-per-plan inference (learning_planner.hpp:140-240); the
+nets are trained rest-to-rest, so re-querying them from a moving state mid-
+flight produces allocations the QP cannot satisfy.  Cold ticks hedge the
+predicted times over a small batch of uniform stretch factors in ONE solve
+batch and keep the first feasible stretch -- a TPU-shaped replacement for
+retry loops.  Optional MINCO-style time refinement (planner/refine.py) stays
+available per tick via refine_steps.
 
 Everything device-side is ONE jitted function per (batch, corridor) shape;
-the host work per tick is a handful of dot products.
+the host work per tick is bookkeeping on a handful of scalars.
 """
 
 from __future__ import annotations
@@ -32,8 +52,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.config import AllocNetConfig, SolverConfig
+from allocnet_tpu.models import packing
+from allocnet_tpu.ops import admm, qp
 from allocnet_tpu.planner import control, replan, trajectory
+
+# cold-tick feasibility hedge: uniform stretch factors over the predicted
+# times, solved as one batch; the first (smallest-stretch) feasible one wins
+HEDGE_SCALES = (1.0, 1.45, 2.1)
+
+# minimum carried segment time; below this the advance snaps to the next
+# junction (matches refine.py's t_min and replan's 0.05 clamp)
+T_MIN = 0.05
+
+
+class PlanState(NamedTuple):
+    """Previous accepted plan, aligned to the CURRENT (rolled) corridor."""
+    coeffs: jax.Array     # (B, S, 3, D) physical coefficients
+    times: jax.Array      # (B, S) masked segment times (0 on padding)
+    have_prev: jax.Array  # (B,) bool
 
 
 class DriverState(NamedTuple):
@@ -44,16 +81,29 @@ class DriverState(NamedTuple):
     hpolys: np.ndarray       # (S, F, 4) normalized corridor (a.x <= b)
     seg: int                 # active polytope count
     goal: np.ndarray         # (3,)
-    prev: replan.ReplanState
+    prev: PlanState
+    done: bool = False       # mission complete (arrived at goal)
 
 
 class TickResult(NamedTuple):
     times: np.ndarray
-    solved: bool
+    solved: bool             # this tick's QP re-solve converged
     state: DriverState
     telemetry: control.ControlSample | None
     latency_s: float
+    tracking: bool = False   # fallback tick: tracked the previous plan
 
+
+def init_plan(batch: int, cfg: AllocNetConfig) -> PlanState:
+    S, D = cfg.qp.max_seg, cfg.qp.D
+    return PlanState(coeffs=jnp.zeros((batch, S, 3, D), jnp.float32),
+                     times=jnp.zeros((batch, S), jnp.float32),
+                     have_prev=jnp.zeros((batch,), bool))
+
+
+# ---------------------------------------------------------------------------
+# host-side geometry helpers (kept for front-end/corridor bookkeeping)
+# ---------------------------------------------------------------------------
 
 def point_in_poly(hpoly: np.ndarray, p: np.ndarray, slack: float = 1e-6):
     """All-faces test for normalized rows [a, b] meaning a.x <= b; zero rows
@@ -66,12 +116,7 @@ def point_in_poly(hpoly: np.ndarray, p: np.ndarray, slack: float = 1e-6):
 def nudge_inside(hpoly: np.ndarray, p: np.ndarray, margin: float = 0.05,
                  iters: int = 4) -> np.ndarray:
     """Project p to be >= margin inside every live face of a normalized
-    polytope (rows [a, b], |a| = 1, a.x <= b).  The start-side mirror of the
-    reference's goal refinement (min_traj_opt.py:214-232): a trajectory only
-    satisfies corridor constraints at SAMPLE points, so the state advanced
-    along it between samples can sit marginally outside -- replanning from
-    there is infeasible by construction, and a cm-scale snap back inside is
-    the standard tracking-error recovery."""
+    polytope (rows [a, b], |a| = 1, a.x <= b)."""
     a, b = hpoly[:, :3], hpoly[:, 3]
     live = np.abs(a).sum(axis=1) > 1e-9
     q = p.astype(np.float64).copy()
@@ -99,29 +144,188 @@ def trim_passed(hpolys: np.ndarray, seg: int, p: np.ndarray):
     return out, seg - idx
 
 
-def _device_tick(net, cfg: AllocNetConfig, dt: float, params, time_scale,
-                 warm, refine_steps, state9, hpolys, seg,
-                 prev: replan.ReplanState):
-    """state9 (B,2,3,3) -> replan -> advance along the new trajectory by dt.
-    Returns (times, coeffs, solved, advanced p/v/a, new ReplanState)."""
-    times, coeffs, solved, new_prev = replan.replan_step(
-        net, params, cfg, state9, hpolys, seg, prev, time_scale=time_scale,
-        warm=warm, refine_steps=refine_steps)
-    traj = trajectory.from_solution(coeffs, times, seg)
-    B = coeffs.shape[0]
-    st = trajectory.eval_state(
-        traj, jnp.full((B,), dt, coeffs.dtype), max_deriv=2)   # (B, 3, 3)
-    # if unsolved, hold the previous state (st is garbage): caller keeps pos
-    return times, coeffs, solved, st, new_prev
+# ---------------------------------------------------------------------------
+# device-side tick kernels
+# ---------------------------------------------------------------------------
+
+def _nudge_device(hpoly: jax.Array, p: jax.Array, margin: float = 5e-3,
+                  iters: int = 4) -> jax.Array:
+    """Batched most-violated-face projection: hpoly (B, F, 4), p (B, 3)."""
+    a, b = hpoly[..., :3], hpoly[..., 3]
+    live = jnp.sum(jnp.abs(a), axis=-1) > 1e-9
+    F = a.shape[1]
+    for _ in range(iters):
+        v = jnp.where(live, jnp.einsum('bfj,bj->bf', a, p) - (b - margin),
+                      -1.0)
+        onehot = jax.nn.one_hot(jnp.argmax(v, axis=1), F, dtype=p.dtype)
+        ai = jnp.einsum('bf,bfj->bj', onehot, a)
+        step = jnp.maximum(jnp.max(v, axis=1), 0.0)
+        p = p - step[:, None] * ai
+    return p
 
 
-def make_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
-              time_scale: float = 1.0, warm: bool = True,
-              refine_steps: int = 0):
-    """Jit-compiled device tick closure; one compilation per corridor shape."""
-    return jax.jit(functools.partial(_device_tick, net, cfg, 1.0 / rate_hz,
-                                     params, time_scale, warm, refine_steps))
+class _Advance(NamedTuple):
+    state9: jax.Array    # (B, 2, 3, 3) next pinned start + goal
+    hpolys: jax.Array    # (B, S, F, 4) rolled corridor
+    seg: jax.Array       # (B,)
+    prev: PlanState      # rolled/shifted plan = next tick's warm start
+    done: jax.Array      # (B,) bool: arrived (goal at rest)
 
+
+def _advance(cfg: AllocNetConfig, dt: float, plan_c: jax.Array,
+             times_q: jax.Array, state9: jax.Array, hpolys: jax.Array,
+             seg: jax.Array) -> _Advance:
+    """Advance the vehicle dt along (plan_c, times_q) and roll the corridor,
+    times, and coefficients so the remainder starts at the new state."""
+    qcfg = cfg.qp
+    S = qcfg.max_seg
+    dtype = plan_c.dtype
+    B = plan_c.shape[0]
+    mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(dtype)
+    dtimes = times_q * mask
+    traj = trajectory.Trajectory(coeffs=plan_c, times=dtimes, seg_mask=mask)
+    total = jnp.sum(dtimes, axis=1)
+    dtv = jnp.full((B,), dt, dtype)
+
+    idx, u = trajectory._locate(traj, dtv)
+    ti = jnp.take_along_axis(dtimes, idx[:, None], axis=1)[:, 0]
+    rem = ti - u
+    # a remainder below T_MIN snaps forward to the junction: the advance
+    # lands exactly at the start of the next piece (<= T_MIN extra progress),
+    # keeping junction alignment exact instead of carrying a sliver segment
+    snap = rem < T_MIN
+    idx2 = idx + snap.astype(idx.dtype)
+    done = (total - dt <= T_MIN) | (idx2 >= seg)
+    idx2c = jnp.clip(idx2, 0, S - 1)
+    u2 = jnp.where(snap, 0.0, u)
+
+    cum = jnp.cumsum(dtimes, axis=1)
+    seg_start = cum - dtimes
+    t_eval = jnp.take_along_axis(seg_start, idx2c[:, None], axis=1)[:, 0] + u2
+    t_eval = jnp.where(done, total, t_eval)
+    adv = trajectory.eval_state(traj, t_eval, max_deriv=2)   # (B, 3, 3)
+
+    roll = jnp.where(done, 0, idx2c)
+    src = jnp.clip(roll[:, None] + jnp.arange(S)[None, :], 0, S - 1)
+    seg_new = seg - roll
+    mask_new = (jnp.arange(S)[None, :] < seg_new[:, None]).astype(dtype)
+
+    hp_new = jnp.take_along_axis(hpolys, src[:, :, None, None], axis=1)
+    hp_new = hp_new * mask_new[:, :, None, None]
+
+    t_roll = jnp.take_along_axis(dtimes, src, axis=1)
+    t_first = jnp.where(snap, t_roll[:, 0], rem)
+    times_new = t_roll.at[:, 0].set(t_first) * mask_new
+
+    c_roll = jnp.take_along_axis(plan_c, src[:, :, None, None], axis=1)
+    c0 = trajectory.taylor_shift(c_roll[:, 0], u2)
+    coeffs_new = c_roll.at[:, 0].set(c0) * mask_new[:, :, None, None]
+
+    # pin the next start: mm-scale corridor nudge + box clip close the
+    # re-sampled-constraint gap (see module docstring)
+    vmax = jnp.asarray(qcfg.max_vel * (1.0 - 1e-3), dtype)
+    amax = jnp.asarray(qcfg.max_acc * (1.0 - 1e-3), dtype)
+    pos = _nudge_device(hp_new[:, 0], adv[:, 0])
+    vel = jnp.clip(adv[:, 1], -vmax, vmax)
+    acc = jnp.clip(adv[:, 2], -amax, amax)
+    zeros = jnp.zeros_like(pos)
+    start = jnp.stack([pos, jnp.where(done[:, None], zeros, vel),
+                       jnp.where(done[:, None], zeros, acc)], axis=-1)
+    state9_new = state9.at[:, 0].set(start)
+
+    prev = PlanState(coeffs=coeffs_new, times=times_new,
+                     have_prev=jnp.ones((B,), bool))
+    return _Advance(state9=state9_new, hpolys=hp_new, seg=seg_new,
+                    prev=prev, done=done)
+
+
+def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
+               state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
+               prev: PlanState):
+    """One warm tick: re-solve from the pinned state with the shifted
+    previous plan as warm start, fall back to tracking it on failure, then
+    advance.  Returns (solved, plan_c, times, advance)."""
+    qcfg = cfg.qp
+    S = qcfg.max_seg
+    dtype = prev.coeffs.dtype
+    mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(dtype)
+    times_q = jnp.where(mask > 0, jnp.maximum(prev.times, T_MIN), 1.0)
+
+    if refine_steps > 0:
+        from allocnet_tpu.planner import refine as refine_lib
+        scfg_w = replan.warm_solver_config(cfg.solver)
+        ref = refine_lib.refine_times(qcfg, scfg_w, state9, hpolys,
+                                      times_q, seg, steps=refine_steps)
+        times_q = jnp.where(mask > 0, jnp.maximum(ref.times, T_MIN), 1.0)
+
+    data = qp.build_qp(qcfg, state9, hpolys, times_q, seg)
+    x0 = qp.scale_coeffs(data, prev.coeffs)
+    sol = admm.solve_qp(data, replan.warm_solver_config(cfg.solver), x0=x0)
+
+    use = sol.solved.reshape(-1, 1, 1, 1)
+    plan_c = jnp.where(use, sol.coeffs, prev.coeffs)
+    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg)
+    return sol.solved, plan_c, times_q * mask, adv
+
+
+def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
+               params, state9: jax.Array, hpolys: jax.Array, seg: jax.Array):
+    """Cold tick (fresh goal): net inference once, then ONE batched solve
+    over the feasibility hedge; first feasible stretch wins.  Returns
+    (solved, plan_c, times, advance)."""
+    qcfg = cfg.qp
+    S = qcfg.max_seg
+    out = net.apply(params, packing.pack_state(state9),
+                    packing.pack_hpolys(hpolys))
+    times, _ = out if isinstance(out, tuple) else (out, None)
+    times = times * time_scale
+    dtype = times.dtype
+    B = times.shape[0]
+    H = len(HEDGE_SCALES)
+    mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(dtype)
+
+    scales = jnp.asarray(HEDGE_SCALES, dtype)
+    times_h = (times[None] * scales[:, None, None]).reshape(H * B, S)
+    mask_h = jnp.tile(mask, (H, 1))
+    times_qh = jnp.where(mask_h > 0, jnp.maximum(times_h, T_MIN), 1.0)
+    state_h = jnp.tile(state9, (H, 1, 1, 1))
+    hp_h = jnp.tile(hpolys, (H, 1, 1, 1))
+    seg_h = jnp.tile(seg, H)
+
+    data = qp.build_qp(qcfg, state_h, hp_h, times_qh, seg_h)
+    sol = admm.solve_qp(data, cfg.solver)
+
+    solved_h = sol.solved.reshape(H, B)
+    first = jnp.argmax(solved_h, axis=0)              # first feasible stretch
+    solved = jnp.any(solved_h, axis=0)
+    pick = lambda a, shape: jnp.take_along_axis(
+        a.reshape((H, B) + shape),
+        first.reshape((1, B) + (1,) * len(shape)), axis=0)[0]
+    plan_c = pick(sol.coeffs, (S, 3, qcfg.D))
+    times_q = pick(times_qh, (S,))
+
+    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg)
+    # an unsolved cold tick produces no plan: the advance is discarded by
+    # the caller (vehicle waits for the next tick / goal, reference
+    # learning_planner.hpp:181-189 semantics)
+    return solved, plan_c, times_q * mask, adv
+
+
+def make_warm_tick(cfg: AllocNetConfig, rate_hz: float = 10.0,
+                   refine_steps: int = 0):
+    return jax.jit(functools.partial(_warm_tick, cfg, 1.0 / rate_hz,
+                                     refine_steps))
+
+
+def make_cold_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
+                   time_scale: float = 1.0):
+    return jax.jit(functools.partial(_cold_tick, net, cfg, 1.0 / rate_hz,
+                                     time_scale, params))
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
 
 class Driver:
     """Single-vehicle receding-horizon driver (B=1 device batch)."""
@@ -132,67 +336,99 @@ class Driver:
         self.net, self.params, self.cfg = net, params, cfg
         self.rate_hz = rate_hz
         self.telemetry_hz = telemetry_hz
-        # cold tick = the reference's full-budget plan() on a fresh goal;
-        # warm tick = the incremental low-latency budget seeded from the
-        # previous trajectory.  The driver picks per tick by have_prev.
-        self._tick_warm = make_tick(net, cfg, params, rate_hz, time_scale,
-                                    warm=True, refine_steps=refine_steps)
-        self._tick_cold = make_tick(net, cfg, params, rate_hz, time_scale,
-                                    warm=False, refine_steps=refine_steps)
+        self._cold = make_cold_tick(net, cfg, params, rate_hz, time_scale)
+        self._warm = make_warm_tick(cfg, rate_hz, refine_steps)
+
+    def prewarm(self, goal_dist: float = 5.0):
+        """Compile both tick programs up front (the p99 killer: without this
+        the first warm tick pays a full XLA compile mid-flight)."""
+        S, F = self.cfg.qp.max_seg, self.cfg.qp.max_faces
+        hp = np.zeros((1, S, F, 4), np.float32)
+        # a generous axis-aligned box around the segment keeps the dummy
+        # problem feasible so both code paths execute fully
+        box = np.array([[1, 0, 0, goal_dist + 2.0], [-1, 0, 0, 2.0],
+                        [0, 1, 0, 2.0], [0, -1, 0, 2.0],
+                        [0, 0, 1, 4.0], [0, 0, -1, 1.0]], np.float32)
+        hp[0, :2, :6] = box
+        st = np.zeros((1, 2, 3, 3), np.float32)
+        st[0, 1, 0, 0] = goal_dist
+        st[0, 1, 2, 0] = 1.0
+        seg = jnp.asarray([2])
+        solved, plan_c, times, adv = self._cold(
+            jnp.asarray(st), jnp.asarray(hp), seg)
+        _ = self._warm(adv.state9, adv.hpolys, adv.seg, adv.prev)
+        jax.block_until_ready(_[0])
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
         return DriverState(
             pos=np.asarray(pos, np.float64), vel=np.zeros(3),
             acc=np.zeros(3), hpolys=np.asarray(hpolys), seg=int(seg),
             goal=np.asarray(goal, np.float64),
-            prev=replan.init_state(1, self.cfg))
+            prev=init_plan(1, self.cfg), done=False)
 
     def set_goal(self, st: DriverState, goal, hpolys, seg) -> DriverState:
-        """Goal change: new corridor, drop the warm start (cold replan, the
+        """Goal change: new corridor, drop the plan (cold replan, the
         reference's targetCallBack semantics)."""
         return st._replace(goal=np.asarray(goal, np.float64),
                            hpolys=np.asarray(hpolys), seg=int(seg),
-                           prev=replan.init_state(1, self.cfg))
+                           prev=init_plan(1, self.cfg), done=False)
 
-    def tick(self, st: DriverState, telemetry: bool = False) -> TickResult:
-        hp, seg = trim_passed(st.hpolys, st.seg, st.pos)
-        pos = nudge_inside(hp[0], st.pos)
+    def _pack_state9(self, st: DriverState) -> np.ndarray:
         state9 = np.zeros((1, 2, 3, 3), np.float32)
-        state9[0, 0, :, 0] = pos
+        state9[0, 0, :, 0] = st.pos
         state9[0, 0, :, 1] = st.vel
         state9[0, 0, :, 2] = st.acc
         state9[0, 1, :, 0] = st.goal
+        return state9
 
-        fn = (self._tick_warm if bool(np.asarray(st.prev.have_prev)[0])
-              else self._tick_cold)
+    def tick(self, st: DriverState, telemetry: bool = False) -> TickResult:
+        if st.done:
+            return TickResult(times=np.zeros(self.cfg.qp.max_seg),
+                              solved=True, state=st, telemetry=None,
+                              latency_s=0.0, tracking=False)
+        state9 = self._pack_state9(st)
+        have = bool(np.asarray(st.prev.have_prev)[0])
+        hp_dev = jnp.asarray(st.hpolys, jnp.float32)[None]
+        seg_dev = jnp.asarray([st.seg])
+
         t0 = time.perf_counter()
-        times, coeffs, solved, adv, new_prev = fn(
-            jnp.asarray(state9), jnp.asarray(hp, jnp.float32)[None],
-            jnp.asarray([seg]), st.prev)
-        adv_np = np.asarray(adv)          # forces the device round trip
+        if have:
+            solved, plan_c, times, adv = self._warm(
+                jnp.asarray(state9), hp_dev, seg_dev, st.prev)
+        else:
+            solved, plan_c, times, adv = self._cold(
+                jnp.asarray(state9), hp_dev, seg_dev)
+        adv_np = np.asarray(adv.state9)     # forces the device round trip
         ok = bool(np.asarray(solved)[0])
         lat = time.perf_counter() - t0
 
-        tel = None
-        if ok:
-            traj = trajectory.from_solution(coeffs, times, jnp.asarray([seg]))
-            if telemetry:
-                tel = control.control_horizon(
-                    traj, self.cfg.phys, rate_hz=self.telemetry_hz,
-                    horizon_s=1.0 / self.rate_hz)
-            new_st = st._replace(
-                pos=adv_np[0, 0].astype(np.float64),
-                vel=adv_np[0, 1].astype(np.float64),
-                acc=adv_np[0, 2].astype(np.float64),
-                hpolys=hp, seg=seg, prev=new_prev)
+        tracking = (not ok) and have
+        if ok or tracking:
+            # accepted (or tracked) plan: advance state + bookkeeping
+            new_st = DriverState(
+                pos=adv_np[0, 0, :, 0].astype(np.float64),
+                vel=adv_np[0, 0, :, 1].astype(np.float64),
+                acc=adv_np[0, 0, :, 2].astype(np.float64),
+                hpolys=np.asarray(adv.hpolys[0]), seg=int(adv.seg[0]),
+                goal=st.goal, prev=adv.prev,
+                done=bool(np.asarray(adv.done)[0]))
         else:
-            # failed replan: hold state, keep the old warm start and corridor
-            new_st = st._replace(hpolys=hp, seg=seg)
+            # unsolved cold tick: no plan exists, hold and wait
+            new_st = st
+
+        tel = None
+        if telemetry and (ok or tracking):
+            traj = trajectory.from_solution(plan_c, times, seg_dev)
+            tel = control.control_horizon(
+                traj, self.cfg.phys, rate_hz=self.telemetry_hz,
+                horizon_s=1.0 / self.rate_hz)
         return TickResult(times=np.asarray(times)[0], solved=ok,
-                          state=new_st, telemetry=tel, latency_s=lat)
+                          state=new_st, telemetry=tel, latency_s=lat,
+                          tracking=tracking)
 
     def run(self, st: DriverState, n_ticks: int, realtime: bool = False,
-            goal_changes: dict | None = None, telemetry: bool = False):
+            goal_changes: dict | None = None, telemetry: bool = False,
+            stop_when_done: bool = False):
         """Run n_ticks; goal_changes maps tick index -> (goal, hpolys, seg).
         Returns (final state, list of TickResult)."""
         results = []
@@ -203,6 +439,8 @@ class Driver:
             r = self.tick(st, telemetry=telemetry)
             st = r.state
             results.append(r)
+            if stop_when_done and st.done:
+                break
             if realtime and r.latency_s < period:
                 time.sleep(period - r.latency_s)
         return st, results
@@ -211,34 +449,41 @@ class Driver:
 def onchip_tick_cost(net, params, cfg: AllocNetConfig, state9, hpolys, seg,
                      n_ticks: int = 50, rate_hz: float = 10.0,
                      time_scale: float = 1.0, refine_steps: int = 0):
-    """Pure on-chip per-tick cost: n_ticks chained on device via lax.scan
-    (state advanced along each new trajectory, fixed corridor), one host
-    round trip total.  Separates solver latency from tunnel/dispatch RTT,
-    which dominates single-tick wall-clock through a remote chip."""
+    """Pure on-chip per-tick cost: cold plan + n_ticks warm ticks chained on
+    device via lax.scan, one host round trip total.  Separates solver
+    latency from tunnel/dispatch RTT, which dominates single-tick wall-clock
+    through a remote chip.  Returns (seconds/tick, solved fraction over
+    pre-arrival ticks, arrived fraction)."""
     dt = 1.0 / rate_hz
 
     def body(carry, _):
-        state9, prev = carry
-        times, coeffs, solved, adv, prev = _device_tick(
-            net, cfg, dt, params, time_scale, True, refine_steps, state9,
-            hpolys, seg, prev)
-        okf = solved.astype(state9.dtype).reshape(-1, 1, 1)
-        new0 = jnp.transpose(adv, (0, 2, 1)) * okf \
-            + state9[:, 0] * (1.0 - okf)
-        state9 = state9.at[:, 0].set(new0)
-        return (state9, prev), solved
+        state9, hp, seg, prev, done = carry
+        solved, _, _, adv = _warm_tick(cfg, dt, refine_steps,
+                                       state9, hp, seg, prev)
+        # after arrival the tick is a no-op (hold the done state)
+        pickt = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((-1,) + (1,) * (a.ndim - 1)), b, a), new, old)
+        new_carry = (pickt(adv.state9, state9), pickt(adv.hpolys, hp),
+                     jnp.where(done, seg, adv.seg), pickt(adv.prev, prev),
+                     done | adv.done)
+        return new_carry, (solved | done, done)
 
-    def run(state9):
-        (s9, _), solved = jax.lax.scan(
-            body, (state9, replan.init_state(state9.shape[0], cfg)),
-            None, length=n_ticks)
-        return s9, solved
+    def run(state9, hp, seg):
+        solved0, _, _, adv = _cold_tick(net, cfg, dt, time_scale, params,
+                                        state9, hp, seg)
+        carry = (adv.state9, adv.hpolys, adv.seg, adv.prev, adv.done)
+        carry, (solved, was_done) = jax.lax.scan(
+            body, carry, None, length=n_ticks - 1)
+        solved = jnp.concatenate([solved0[None], solved])
+        arrived = carry[4]
+        return solved, arrived
 
     fn = jax.jit(run)
-    s9, solved = fn(state9)
-    np.asarray(s9)                                    # warm-up + sync
+    solved, arrived = fn(state9, hpolys, seg)
+    np.asarray(solved)                                # warm-up + sync
     t0 = time.perf_counter()
-    s9, solved = fn(state9)
+    solved, arrived = fn(state9, hpolys, seg)
     frac = float(np.asarray(solved).mean())           # forces full sync
     wall = time.perf_counter() - t0
-    return wall / n_ticks, frac
+    return wall / n_ticks, frac, float(np.asarray(arrived).mean())

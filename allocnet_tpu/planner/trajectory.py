@@ -15,6 +15,7 @@ needed tolerance, and it vectorizes over thousands of trajectories.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -122,6 +123,145 @@ def max_rates(traj: Trajectory, samples_per_seg: int = 64) -> tuple[jax.Array, j
     vmag = jnp.linalg.norm(vel, axis=-1) * traj.seg_mask[:, :, None]
     amag = jnp.linalg.norm(acc, axis=-1) * traj.seg_mask[:, :, None]
     return jnp.max(vmag, axis=(1, 2)), jnp.max(amag, axis=(1, 2))
+
+
+def _deriv_tau_coeffs(traj: Trajectory, r: int) -> jax.Array:
+    """Coefficients of d^r p/dt^r composed with t = T_i * tau, ascending
+    degree in tau: returns (B, S, 3, D-r) with entry k equal to the tau^k
+    coefficient (physical units).  q_k = fall(k+r, r) * c_{k+r} * T^k where
+    c is the ascending-degree physical coefficient."""
+    B, S, _, D = traj.coeffs.shape
+    c_deg = traj.coeffs[..., ::-1]                     # ascending degree
+    K = D - r
+    fall = np.array([bases.falling_factorial(k + r, r) for k in range(K)])
+    tsafe = jnp.where(traj.seg_mask > 0, jnp.maximum(traj.times, 1e-9), 1.0)
+    tp = tsafe[:, :, None] ** jnp.arange(K, dtype=traj.coeffs.dtype)[None, None]
+    return (c_deg[..., r:] * jnp.asarray(fall, traj.coeffs.dtype)
+            * tp[:, :, None, :])
+
+
+def _mono_to_bernstein(n: int) -> np.ndarray:
+    """(n+1, n+1) matrix mapping ascending monomial coeffs on [0,1] to
+    Bernstein coefficients: b_j = sum_{k<=j} C(j,k)/C(n,k) a_k."""
+    A = np.zeros((n + 1, n + 1))
+    for j in range(n + 1):
+        for k in range(j + 1):
+            A[j, k] = math.comb(j, k) / math.comb(n, k)
+    return A
+
+
+def _bernstein_product(n: int) -> np.ndarray:
+    """(2n+1, n+1, n+1) tensor squaring a degree-n Bernstein form:
+    (fg)_m = sum_{i+j=m} C(n,i) C(n,j) / C(2n,m) f_i g_j."""
+    P = np.zeros((2 * n + 1, n + 1, n + 1))
+    for i in range(n + 1):
+        for j in range(n + 1):
+            P[i + j, i, j] = (math.comb(n, i) * math.comb(n, j)
+                              / math.comb(2 * n, i + j))
+    return P
+
+
+def _sq_norm_bernstein(e: jax.Array) -> jax.Array:
+    """Bernstein coefficients of |v|^2 on [0,1] from ascending monomial
+    derivative coeffs e (..., 3, K).  Numerically float32-safe: the
+    monomial->Bernstein conversion happens at degree K-1 where coefficients
+    are O(rate), and the squaring is done IN Bernstein space (all-positive
+    product tensor) — squaring in monomial space first amplifies the
+    alternating-coefficient cancellation by ~2^{2K} and breaks f32."""
+    K = e.shape[-1]
+    A = jnp.asarray(_mono_to_bernstein(K - 1), e.dtype)
+    b1 = jnp.einsum('jk,...xk->...xj', A, e)
+    P = jnp.asarray(_bernstein_product(K - 1), e.dtype)
+    return jnp.einsum('mij,...xi,...xj->...m', P, b1, b1)
+
+
+def _subdivision_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """de Casteljau split at 1/2: Bernstein coeffs of the two halves.
+    L[j,k] = C(j,k) 2^{-j}; R = reverse-indexed L."""
+    L = np.zeros((n + 1, n + 1))
+    for j in range(n + 1):
+        for k in range(j + 1):
+            L[j, k] = math.comb(j, k) * 0.5 ** j
+    # right half coeffs: r_j = sum_{k>=j} C(n-j, k-j) 2^{-(n-j)} b_k
+    R = np.zeros((n + 1, n + 1))
+    for j in range(n + 1):
+        for k in range(j, n + 1):
+            R[j, k] = math.comb(n - j, k - j) * 0.5 ** (n - j)
+    return L, R
+
+
+def certified_max_rates(traj: Trajectory, levels: int = 3
+                        ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """CERTIFIED bounds on max |vel| and max |acc| over the trajectory.
+
+    The reference certifies rates by real-root isolation on the derivative
+    polynomials (trajectory.hpp:177-315, root_finder.hpp:1014) — exact but
+    inherently sequential.  The TPU-native certificate instead bounds the
+    squared-rate polynomial by its Bernstein coefficients (convex-hull
+    property: min_j b_j <= p(tau) <= max_j b_j on [0,1]), tightened by
+    `levels` rounds of de Casteljau bisection — everything is a constant
+    matrix applied batched over (B, S) segments, and the bound converges
+    quadratically in the subdivision width.  Unlike dense sampling
+    (max_rates), the upper bound can never miss an inter-sample violation.
+
+    Returns (vel_ub, vel_lb, acc_ub, acc_lb): per-trajectory upper/lower
+    bounds with max|rate| guaranteed inside [lb, ub] (lb is attained at an
+    interval endpoint, so it is also a valid sampled max).
+    """
+    dtype = traj.coeffs.dtype
+
+    def bounds(r: int):
+        e = _deriv_tau_coeffs(traj, r)          # (B,S,3,K) ascending
+        b = _sq_norm_bernstein(e)               # (B,S,2K-1) Bernstein coeffs
+        n = b.shape[-1] - 1
+        b = b[:, :, None, :]                    # (B,S,1,n+1) intervals axis
+        L, R = (jnp.asarray(m, dtype) for m in _subdivision_matrices(n))
+        for _ in range(levels):
+            bl = jnp.einsum('jk,bsik->bsij', L, b)
+            br = jnp.einsum('jk,bsik->bsij', R, b)
+            b = jnp.concatenate([bl, br], axis=2)
+        mask = traj.seg_mask[:, :, None, None]
+        ub = jnp.max(jnp.where(mask > 0, b, -jnp.inf), axis=(1, 2, 3))
+        # endpoint coefficients are exact values -> a certified lower bound
+        ends = jnp.maximum(b[..., 0], b[..., -1])
+        lb = jnp.max(jnp.where(mask[..., 0] > 0, ends, -jnp.inf), axis=(1, 2))
+        return jnp.sqrt(jnp.maximum(ub, 0.0)), jnp.sqrt(jnp.maximum(lb, 0.0))
+
+    vel_ub, vel_lb = bounds(1)
+    acc_ub, acc_lb = bounds(2)
+    return vel_ub, vel_lb, acc_ub, acc_lb
+
+
+def certify_box(traj: Trajectory, max_vel: float, max_acc: float,
+                levels: int = 3) -> jax.Array:
+    """True certificate that |vel| <= max_vel and |acc| <= max_acc hold for
+    ALL t (not just at samples).  Conservative: a True is a proof; a False
+    may be a bound-tightness artifact (raise `levels` to refine)."""
+    vel_ub, _, acc_ub, _ = certified_max_rates(traj, levels=levels)
+    return (vel_ub <= max_vel) & (acc_ub <= max_acc)
+
+
+def taylor_shift(coeffs: jax.Array, u: jax.Array) -> jax.Array:
+    """Re-root polynomials at t = u: returns q with q(s) = p(u + s).
+
+    coeffs: (..., 3, D) highest-degree-first; u: (...) broadcast over the
+    leading dims.  This is the exact linear map that turns the remainder of
+    a polynomial piece into a fresh piece starting at local time u — the
+    receding-horizon driver uses it to convert "the previous plan restricted
+    to [u, T]" into a feasible warm start for the next tick's QP (the
+    reference has no equivalent; it only ever re-plans from scratch,
+    learning_planning.cpp:143-188)."""
+    D = coeffs.shape[-1]
+    comb = np.array([[math.comb(d, j) if d >= j else 0.0 for d in range(D)]
+                     for j in range(D)])
+    pows = np.array([[max(d - j, 0) for d in range(D)] for j in range(D)])
+    # M[..., j, d] = C(d, j) * u^{d-j}  (degree-indexed, lowest-first)
+    M = jnp.asarray(comb, coeffs.dtype) * (
+        u[..., None, None] ** jnp.asarray(pows, coeffs.dtype))
+    M = M * jnp.asarray(comb > 0, coeffs.dtype)
+    c_deg = coeffs[..., ::-1]                       # lowest-degree-first
+    q_deg = jnp.einsum('...jd,...xd->...xj', M, c_deg)
+    return q_deg[..., ::-1]
 
 
 def snap_cost(traj: Trajectory, order: int,

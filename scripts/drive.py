@@ -1,13 +1,15 @@
 """Clocked 10 Hz receding-horizon driver demo + latency measurement (the
 reference's learning_planning.cpp loop, re-cast as a framework driver).
 
-Runs N ticks of plan -> advance -> replan on a synthetic map with a goal
-change mid-run, then reports:
-  * wall-clock per tick through the (possibly tunneled) device link --
-    what a host-in-the-loop deployment sees;
+Flies TWO missions back to back (goal change = cold replan mid-session) and
+runs each until arrival or the tick cap, then reports:
+  * solve rate over all ticks and tracking-fallback rate (ticks that kept
+    progressing on the shifted previous plan when the re-solve missed),
+  * wall-clock per tick through the (possibly tunneled) device link,
   * pure on-chip per-tick cost via a device-chained lax.scan of ticks --
     the number that matters for an embedded deployment where the control
-    stack runs next to the chip.
+    stack runs next to the chip,
+  * final distance to each goal (the honest end-to-end outcome).
 
 Writes runs/drive/latency.json and prints a summary line.
 """
@@ -45,9 +47,14 @@ def pillar_map(n=3, seed=2):
     return np.concatenate(pts)
 
 
+def fly(drv, st, max_ticks):
+    st, res = drv.run(st, max_ticks, stop_when_done=True)
+    return st, res
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
-    n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    max_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 
     cfg = AllocNetConfig(qp=QPConfig(res=10, max_vel=8.0, max_acc=12.0),
                          solver=SolverConfig(n_chunks=2, iters_per_chunk=150))
@@ -64,43 +71,56 @@ def main():
     cp1 = planner_lib.plan_corridor(pmap, start, goal1, cfg, seed=3)
     assert cp1.ok, cp1.reason
 
-    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0, time_scale=2.5)
+    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
+    t0 = time.perf_counter()
+    drv.prewarm()
+    prewarm_s = time.perf_counter() - t0
+
+    # mission 1: start -> goal1
     st = drv.reset(start, cp1.route[-1], cp1.hpolys, cp1.seg)
+    st, res1 = fly(drv, st, max_ticks)
+    d1 = float(np.linalg.norm(st.pos - st.goal))
 
-    # warm-up compile tick (excluded from stats)
-    _ = drv.tick(st)
-
-    half = n_ticks // 2
-    st, res1 = drv.run(st, half)
+    # mission 2 (goal change -> cold replan): current pos -> goal2
     cp2 = planner_lib.plan_corridor(pmap, st.pos, goal2, cfg, seed=5)
     results = list(res1)
+    d2, arrived2 = None, False
     if cp2.ok:
         st = drv.set_goal(st, cp2.route[-1], cp2.hpolys, cp2.seg)
-        _ = drv.tick(st)      # possible reshape recompile, exclude
-        st, res2 = drv.run(st, n_ticks - half)
+        st, res2 = fly(drv, st, max_ticks)
         results += list(res2)
+        d2 = float(np.linalg.norm(st.pos - st.goal))
+        arrived2 = bool(st.done)
 
     lats = np.array([r.latency_s for r in results])
     solved = np.array([r.solved for r in results])
+    tracking = np.array([r.tracking for r in results])
 
     # on-chip amortized tick cost: device-chained scan, one RTT total
     state9 = np.zeros((1, 2, 3, 3), np.float32)
     state9[0, 0, :, 0] = start
     state9[0, 1, :, 0] = cp1.route[-1]
-    onchip_s, frac = driver_lib.onchip_tick_cost(
+    onchip_s, onchip_frac, onchip_arrived = driver_lib.onchip_tick_cost(
         net, params, cfg, jnp.asarray(state9),
         jnp.asarray(cp1.hpolys, jnp.float32)[None], jnp.asarray([cp1.seg]),
-        n_ticks=50, time_scale=2.5)
+        n_ticks=120)
 
     out = {
         "n_ticks": int(len(results)),
         "solved_frac": float(solved.mean()),
+        "tracking_frac": float(tracking.mean()),
         "wall_p50_ms": float(np.percentile(lats, 50) * 1e3),
         "wall_p99_ms": float(np.percentile(lats, 99) * 1e3),
+        "prewarm_compile_s": float(prewarm_s),
         "onchip_tick_ms": float(onchip_s * 1e3),
-        "onchip_solved_frac": float(frac),
+        "onchip_solved_frac": float(onchip_frac),
+        "onchip_arrived": bool(onchip_arrived),
         "tick_budget_ms": 100.0,
-        "final_goal_dist_m": float(np.linalg.norm(st.pos - st.goal)),
+        "mission1_goal_dist_m": d1,
+        "mission1_arrived": bool(len(res1) and res1[-1].state.done),
+        "mission2_goal_dist_m": d2,
+        "mission2_arrived": arrived2,
+        "final_goal_dist_m": d2 if d2 is not None else d1,
     }
     with open(os.path.join(OUT, "latency.json"), "w") as f:
         json.dump(out, f, indent=1)
