@@ -80,6 +80,7 @@ def test_convex_cover_and_shortcut():
                                jnp.asarray(Bp), jnp.asarray(Mb), eps=0.01)[0])
 
 
+@pytest.mark.slow
 def test_plan_many_end_to_end():
     """Map -> corridors -> imported deployed network -> QP -> trajectories."""
     from allocnet_tpu.models import import_torch

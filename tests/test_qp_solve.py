@@ -97,7 +97,7 @@ def test_padded_segments_inert():
     sc = scenarios.random_scenarios(cfg, 4, seed=19, min_seg=2, max_seg=3)
     data = qp.build_qp(cfg, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
                        jnp.asarray(sc.times), jnp.asarray(sc.seg))
-    sol = admm.solve_qp(data, scfg)
+    sol = jax.jit(admm.solve_qp, static_argnums=(1,))(data, scfg)
     coeffs = np.asarray(sol.coeffs)
     for b in range(4):
         assert np.all(coeffs[b, int(sc.seg[b]):] == 0.0)
@@ -110,15 +110,16 @@ def test_batched_equals_single():
     cfg = QPConfig(order=4, res=10)
     scfg = SolverConfig(n_chunks=2, iters_per_chunk=75)
     sc = scenarios.random_scenarios(cfg, 4, seed=23, min_seg=1)
-    data = qp.build_qp(cfg, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
-                       jnp.asarray(sc.times), jnp.asarray(sc.seg))
-    batched = admm.solve_qp(data, scfg)
+    # one jitted program per batch size: the B=1 compile is reused 4x
+    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+        qp.build_qp(cfg, st, hp, tm, sg), scfg))
+    batched = solve(jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
+                    jnp.asarray(sc.times), jnp.asarray(sc.seg))
     for b in range(4):
-        d1 = qp.build_qp(cfg, jnp.asarray(sc.state[b:b + 1]),
-                         jnp.asarray(sc.hpolys[b:b + 1]),
-                         jnp.asarray(sc.times[b:b + 1]),
-                         jnp.asarray(sc.seg[b:b + 1]))
-        single = admm.solve_qp(d1, scfg)
+        single = solve(jnp.asarray(sc.state[b:b + 1]),
+                       jnp.asarray(sc.hpolys[b:b + 1]),
+                       jnp.asarray(sc.times[b:b + 1]),
+                       jnp.asarray(sc.seg[b:b + 1]))
         np.testing.assert_allclose(np.asarray(single.coeffs)[0],
                                    np.asarray(batched.coeffs)[b],
                                    rtol=1e-10, atol=1e-12)

@@ -11,12 +11,17 @@ from allocnet_tpu.utils import scenarios
 from tests.oracle import flatness_oracle, qp_oracle
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _solved_trajs(batch=4, seed=21):
     cfg = QPConfig(order=4, res=10)
     sc = scenarios.random_scenarios(cfg, batch, seed=seed, min_seg=1)
-    data = qp.build_qp(cfg, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
-                       jnp.asarray(sc.times), jnp.asarray(sc.seg))
-    sol = admm.solve_qp(data, SolverConfig())
+    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+        qp.build_qp(cfg, st, hp, tm, sg), SolverConfig()))
+    sol = solve(jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
+                jnp.asarray(sc.times), jnp.asarray(sc.seg))
     traj = trajectory.from_solution(sol.coeffs, jnp.asarray(sc.times),
                                     jnp.asarray(sc.seg))
     return cfg, sc, traj
@@ -57,9 +62,10 @@ def test_endpoints_and_sampling():
 
 def test_snap_cost_matches_objective():
     cfg, sc, traj = _solved_trajs()
-    data = qp.build_qp(cfg, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
-                       jnp.asarray(sc.times), jnp.asarray(sc.seg))
-    sol = admm.solve_qp(data, SolverConfig())
+    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+        qp.build_qp(cfg, st, hp, tm, sg), SolverConfig()))
+    sol = solve(jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
+                jnp.asarray(sc.times), jnp.asarray(sc.seg))
     cost = np.asarray(trajectory.snap_cost(traj, cfg.order, reference_compat=True))
     np.testing.assert_allclose(cost, np.asarray(sol.obj) * 2.0, rtol=1e-5)
     # the exact Gram differs only via the reference's m_34 typo (~10%)

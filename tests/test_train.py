@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from allocnet_tpu.config import LossConfig, QPConfig, SolverConfig, TrainConfig
 from allocnet_tpu.models.networks import ConvLSTMAllocNet
@@ -85,6 +86,7 @@ def test_sharded_step_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_drives_times_toward_ref_when_unsolved():
     """The wt branch: with infeasibly small predicted times the gradient on
     the time head must be finite and nonzero (supervised fallback path)."""
@@ -97,7 +99,7 @@ def test_grad_drives_times_toward_ref_when_unsolved():
                                        state, hpolys, seg, ref_times, 0.42)
         return total
 
-    g = jax.grad(loss)(ts.params)
+    g = jax.jit(jax.grad(loss))(ts.params)
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert max(norms) > 0
@@ -160,6 +162,7 @@ def test_initialize_distributed_fails_loudly(monkeypatch):
         m.initialize_distributed()
 
 
+@pytest.mark.slow
 def test_phase1_operating_point():
     """The reference's PHASE-1 training mode as a mode (config.PHASE1):
     time-factor parametrization + the phase-1 box limits v<=5, a<=8
