@@ -67,7 +67,8 @@ def main():
         assert src, f"no supervised checkpoint under {START}"
         restored, _ = trainer_lib.restore_checkpoint(src, tr.ts)
         # params only: fresh optimizer state + schedule at the reduced LR
-        tr.ts = dataclasses.replace(tr.ts, params=restored.params)
+        # (TrainState is a NamedTuple, not a dataclass)
+        tr.ts = tr.ts._replace(params=restored.params)
         print(f"fine-tuning from {src}", flush=True)
     else:
         print(f"resuming fine-tune at epoch {tr.start_epoch}", flush=True)
