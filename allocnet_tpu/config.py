@@ -202,6 +202,13 @@ class CorridorConfig:
     rrt_step: float = 1.0
     rrt_goal_bias: float = 0.1
     safe_distance: float = 0.5
+    # Informed RRT* (the reference's actual front-end: OMPL InformedRRTstar,
+    # sfc_gen.hpp:45-114): keep optimizing within the iteration/time budget
+    # instead of returning the first path.  Needs the native runtime; the
+    # Python fallback stays plain RRT.  time budget 0 = iteration-bounded
+    # only (the reference uses 0.01 s, learning_planner.hpp:257).
+    use_rrt_star: bool = True
+    rrt_star_time_budget: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -373,7 +373,31 @@ def _yeq_unpack(arr, cfg, dtype):
 def admm_solve_tiled(data: qp.QPData, scfg: SolverConfig, x0=None,
                      interpret: bool = False):
     """Drop-in replacement for admm.admm_solve with the fused tiled kernel
-    as the inner iteration engine.  Signature/result match admm_solve."""
+    as the inner iteration engine.  Signature/result match admm_solve.
+
+    Batches that do not divide the tile are PADDED up to the next tile
+    multiple (scenario 0 replicated) and the results sliced back: Mosaic
+    requires per-block row counts divisible by 8 unless the block spans the
+    whole array, so shrinking the tile below 8 (the old fallback) fails to
+    lower for e.g. B=500."""
+    B = data.times.shape[0]
+    T = min(scfg.pallas_tile, B)
+    if B > T and B % T:
+        pad = T - B % T
+        pad_leaf = lambda a: (jnp.concatenate([a, a[:pad]], axis=0)
+                              if hasattr(a, 'ndim') and a.ndim and
+                              a.shape[0] == B else a)
+        data_p = jax.tree.map(pad_leaf, data)
+        x0_p = None if x0 is None else pad_leaf(x0)
+        out = _admm_solve_tiled_impl(data_p, scfg, x0_p, interpret)
+        return jax.tree.map(
+            lambda a: a[:B] if hasattr(a, 'ndim') and a.ndim and
+            a.shape[0] == B + pad else a, out)
+    return _admm_solve_tiled_impl(data, scfg, x0, interpret)
+
+
+def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
+                           interpret: bool = False):
     from allocnet_tpu.ops import admm as admm_mod
 
     cfg = data.cfg

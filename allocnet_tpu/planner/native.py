@@ -47,6 +47,12 @@ def _load():
     lib.simplify_path.restype = ctypes.c_int
     lib.simplify_path.argtypes = [ctypes.c_void_p, d, ctypes.c_int, d,
                                   ctypes.c_int]
+    if hasattr(lib, "rrt_star_plan"):   # absent in pre-round-3 builds
+        lib.rrt_star_plan.restype = ctypes.c_int
+        lib.rrt_star_plan.argtypes = [ctypes.c_void_p, d, d, ctypes.c_double,
+                                      ctypes.c_int, ctypes.c_double,
+                                      ctypes.c_ulonglong, ctypes.c_double,
+                                      d, ctypes.c_int]
     if hasattr(lib, "cloud_crop_windows"):   # absent in pre-round-2 builds
         lib.cloud_crop_windows.restype = ctypes.c_int
         lib.cloud_crop_windows.argtypes = [d, ctypes.c_int, d, d,
@@ -119,6 +125,26 @@ class NativeGrid:
         out = np.zeros((max_pts, 3), dtype=np.float64)
         n = self._lib.rrt_plan(self._handle, _dp(start), _dp(goal), step,
                                max_iter, goal_bias, seed, _dp(out), max_pts)
+        if n <= 0:
+            return None
+        return out[:n].copy()
+
+    def rrt_star(self, start, goal, step: float = 1.0, max_iter: int = 5000,
+                 goal_bias: float = 0.1, seed: int = 0,
+                 time_budget_s: float = 0.0,
+                 max_pts: int = 4096) -> np.ndarray | None:
+        """Informed RRT* (the reference front-end, sfc_gen.hpp:45-114):
+        asymptotically-optimal path within max_iter / time_budget_s.
+        Falls back to plain RRT on pre-round-3 .so builds."""
+        if not hasattr(self._lib, "rrt_star_plan"):
+            return self.rrt(start, goal, step, max_iter, goal_bias, seed,
+                            max_pts)
+        start = np.ascontiguousarray(start, dtype=np.float64)
+        goal = np.ascontiguousarray(goal, dtype=np.float64)
+        out = np.zeros((max_pts, 3), dtype=np.float64)
+        n = self._lib.rrt_star_plan(self._handle, _dp(start), _dp(goal), step,
+                                    max_iter, goal_bias, seed, time_budget_s,
+                                    _dp(out), max_pts)
         if n <= 0:
             return None
         return out[:n].copy()

@@ -60,28 +60,43 @@ class CorridorPlan(NamedTuple):
     reason: str
 
 
+def search_route(pmap: PlannerMap, start, goal, ccfg, seed: int = 0):
+    """Front-end path search + greedy shortcut.  Native grid available:
+    Informed RRT* (the reference's front-end, sfc_gen.hpp:45-114) when
+    ccfg.use_rrt_star, else plain RRT; Python fallback is always plain RRT
+    (rrt.py).  Returns (K, 3) waypoints or None."""
+    if pmap.native is not None:
+        if ccfg.use_rrt_star:
+            route = pmap.native.rrt_star(
+                start, goal, step=ccfg.rrt_step,
+                max_iter=ccfg.rrt_max_iter, goal_bias=ccfg.rrt_goal_bias,
+                seed=seed, time_budget_s=ccfg.rrt_star_time_budget)
+        else:
+            route = pmap.native.rrt(start, goal, step=ccfg.rrt_step,
+                                    max_iter=ccfg.rrt_max_iter,
+                                    goal_bias=ccfg.rrt_goal_bias, seed=seed)
+        if route is not None:
+            route = pmap.native.simplify(route)
+    else:
+        route = rrt.plan(start, goal, pmap.surf, pmap.lo, pmap.hi,
+                         safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
+                         max_iter=ccfg.rrt_max_iter,
+                         goal_bias=ccfg.rrt_goal_bias, seed=seed)
+        if route is not None:
+            route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
+    return route
+
+
 def plan_corridor(pmap: PlannerMap, start: np.ndarray, goal: np.ndarray,
                   cfg: AllocNetConfig, seed: int = 0) -> CorridorPlan:
     """Route + corridor for one (start, goal); failure taxonomy mirrors the
     reference (path-not-found learning_planner.hpp:259-262, long-corridor
     :287-291)."""
     ccfg = cfg.corridor
-    if pmap.native is not None:
-        route = pmap.native.rrt(start, goal, step=ccfg.rrt_step,
-                                max_iter=ccfg.rrt_max_iter,
-                                goal_bias=ccfg.rrt_goal_bias, seed=seed)
-    else:
-        route = rrt.plan(start, goal, pmap.surf, pmap.lo, pmap.hi,
-                         safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
-                         max_iter=ccfg.rrt_max_iter,
-                         goal_bias=ccfg.rrt_goal_bias, seed=seed)
+    route = search_route(pmap, start, goal, ccfg, seed)
     empty = np.zeros((cfg.qp.max_seg, cfg.qp.max_faces, 4))
     if route is None:
         return CorridorPlan(np.zeros((0, 3)), empty, 0, False, "no_path")
-    if pmap.native is not None:
-        route = pmap.native.simplify(route)
-    else:
-        route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
 
     polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi, ccfg)
     polys = sfc.short_cut(polys)
@@ -127,23 +142,8 @@ def plan_corridors_batch(
     ~0.5 s/sample in round 1."""
     ccfg = cfg.corridor
     B = len(starts)
-    routes: list = []
-    for b in range(B):
-        if pmap.native is not None:
-            route = pmap.native.rrt(starts[b], goals[b], step=ccfg.rrt_step,
-                                    max_iter=ccfg.rrt_max_iter,
-                                    goal_bias=ccfg.rrt_goal_bias,
-                                    seed=seed + b)
-            if route is not None:
-                route = pmap.native.simplify(route)
-        else:
-            route = rrt.plan(starts[b], goals[b], pmap.surf, pmap.lo, pmap.hi,
-                             safe_dis=ccfg.safe_distance, step=ccfg.rrt_step,
-                             max_iter=ccfg.rrt_max_iter,
-                             goal_bias=ccfg.rrt_goal_bias, seed=seed + b)
-            if route is not None:
-                route = rrt.simplify(route, pmap.surf, ccfg.safe_distance)
-        routes.append(route)
+    routes: list = [search_route(pmap, starts[b], goals[b], ccfg, seed + b)
+                    for b in range(B)]
 
     ok_idx = [b for b, r in enumerate(routes) if r is not None]
     covers = sfc.convex_cover_many([routes[b] for b in ok_idx], pmap.surf,

@@ -207,6 +207,13 @@ def certified_max_rates(traj: Trajectory, levels: int = 3
     Returns (vel_ub, vel_lb, acc_ub, acc_lb): per-trajectory upper/lower
     bounds with max|rate| guaranteed inside [lb, ub] (lb is attained at an
     interval endpoint, so it is also a valid sampled max).
+
+    Precision contract: the sandwich is exact in exact arithmetic; in
+    float32 the tau-composition powers T^k add evaluation noise of order
+    1e-3 relative (the same noise dense sampling has).  For hard
+    certification run in float64 (CPU/x64 — the f64 tests agree with a
+    50001-point sampler to 1e-9); on-TPU f32 results should be read with a
+    ~1% relative guard band.
     """
     dtype = traj.coeffs.dtype
 

@@ -28,6 +28,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <chrono>
 #include <random>
 #include <vector>
 
@@ -192,6 +193,230 @@ int rrt_plan(void* grid, const double* start, const double* goal, double step,
         }
     }
     return 0;
+}
+
+// Informed RRT* (the reference front-end: OMPL InformedRRTstar with a
+// 10 ms budget, sfc_gen.hpp:45-114 / learning_planner.hpp:257).  Plain RRT
+// returns the FIRST path found; RRT* keeps optimizing: new nodes choose the
+// cheapest parent in a shrinking neighborhood, neighbors are rewired
+// through cheaper new nodes (costs propagated to descendants), and once a
+// solution exists sampling is restricted to the prolate spheroid with foci
+// start/goal and transverse diameter = best cost (Gammell et al. 2014) —
+// states outside it provably cannot improve the path.
+//
+//   int rrt_star_plan(void* grid, const double* start, const double* goal,
+//                     double step, int max_iter, double goal_bias,
+//                     unsigned long long seed, double time_budget_s,
+//                     double* out_path, int max_pts);  // #waypoints or 0
+int rrt_star_plan(void* grid, const double* start, const double* goal,
+                  double step, int max_iter, double goal_bias,
+                  unsigned long long seed, double time_budget_s,
+                  double* out_path, int max_pts) {
+    Grid* g = (Grid*)grid;
+    if (g->blocked(start) || g->blocked(goal)) return 0;
+
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    std::normal_distribution<double> gauss(0.0, 1.0);
+
+    std::vector<double> nodes;                  // 3 * count
+    std::vector<int> parents;
+    std::vector<double> costs;
+    std::vector<std::vector<int>> children;
+    nodes.insert(nodes.end(), start, start + 3);
+    parents.push_back(-1);
+    costs.push_back(0.0);
+    children.emplace_back();
+
+    auto dist3 = [](const double* a, const double* b) {
+        double dx = a[0] - b[0], dy = a[1] - b[1], dz = a[2] - b[2];
+        return std::sqrt(dx * dx + dy * dy + dz * dz);
+    };
+
+    // informed-sampling frame: rotation taking e1 -> (goal-start)/c_min
+    const double c_min = dist3(start, goal);
+    double centre[3] = {(start[0] + goal[0]) / 2, (start[1] + goal[1]) / 2,
+                        (start[2] + goal[2]) / 2};
+    double a1[3] = {(goal[0] - start[0]) / c_min, (goal[1] - start[1]) / c_min,
+                    (goal[2] - start[2]) / c_min};
+    // complete an orthonormal basis {a1, a2, a3}
+    double ref[3] = {1.0, 0.0, 0.0};
+    if (std::fabs(a1[0]) > 0.9) { ref[0] = 0.0; ref[1] = 1.0; }
+    double a2[3] = {a1[1] * ref[2] - a1[2] * ref[1],
+                    a1[2] * ref[0] - a1[0] * ref[2],
+                    a1[0] * ref[1] - a1[1] * ref[0]};
+    double n2 = std::sqrt(a2[0] * a2[0] + a2[1] * a2[1] + a2[2] * a2[2]);
+    for (int j = 0; j < 3; ++j) a2[j] /= n2;
+    double a3[3] = {a1[1] * a2[2] - a1[2] * a2[1],
+                    a1[2] * a2[0] - a1[0] * a2[2],
+                    a1[0] * a2[1] - a1[1] * a2[0]};
+
+    // RRT* neighbourhood constant (free-space measure over-approximated by
+    // the map box; d = 3)
+    double vol = (g->hi[0] - g->lo[0]) * (g->hi[1] - g->lo[1]) *
+                 (g->hi[2] - g->lo[2]);
+    const double gamma =
+        2.0 * std::cbrt((1.0 + 1.0 / 3.0) * vol / (4.0 / 3.0 * M_PI));
+
+    double best_cost = 1e300;
+    int best_goal_parent = -1;
+
+    const auto t_start = std::chrono::steady_clock::now();
+    auto elapsed_s = [&]() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t_start)
+            .count();
+    };
+
+    std::vector<int> stack;
+    double sample[3], nw[3], ball[3];
+    for (int it = 0; it < max_iter; ++it) {
+        if (time_budget_s > 0 && (it & 63) == 0 && elapsed_s() > time_budget_s)
+            break;
+
+        // ---- sample ----
+        if (best_cost < 1e299) {
+            // informed: uniform in the prolate spheroid (reject to free)
+            double r1 = best_cost / 2.0;
+            double r23 = std::sqrt(std::max(best_cost * best_cost -
+                                            c_min * c_min, 0.0)) / 2.0;
+            bool ok = false;
+            for (int tries = 0; tries < 16 && !ok; ++tries) {
+                // uniform in the unit ball
+                double nrm2;
+                do {
+                    for (int j = 0; j < 3; ++j) ball[j] = 2 * uni(rng) - 1;
+                    nrm2 = ball[0] * ball[0] + ball[1] * ball[1] +
+                           ball[2] * ball[2];
+                } while (nrm2 > 1.0);
+                double e1 = r1 * ball[0], e2 = r23 * ball[1],
+                       e3 = r23 * ball[2];
+                for (int j = 0; j < 3; ++j)
+                    sample[j] = centre[j] + a1[j] * e1 + a2[j] * e2 +
+                                a3[j] * e3;
+                ok = !g->blocked(sample);
+            }
+            if (!ok) continue;
+        } else if (uni(rng) < goal_bias) {
+            std::memcpy(sample, goal, sizeof(sample));
+        } else {
+            for (int j = 0; j < 3; ++j)
+                sample[j] = g->lo[j] + uni(rng) * (g->hi[j] - g->lo[j]);
+            if (g->blocked(sample)) continue;
+        }
+
+        // ---- steer from nearest ----
+        int count = (int)parents.size();
+        int nearest = 0;
+        double bestd = 1e300;
+        for (int k = 0; k < count; ++k) {
+            double dx = nodes[3 * k] - sample[0];
+            double dy = nodes[3 * k + 1] - sample[1];
+            double dz = nodes[3 * k + 2] - sample[2];
+            double d = dx * dx + dy * dy + dz * dz;
+            if (d < bestd) { bestd = d; nearest = k; }
+        }
+        double dn = std::sqrt(bestd);
+        if (dn < 1e-9) continue;
+        double t = step < dn ? step / dn : 1.0;
+        for (int j = 0; j < 3; ++j)
+            nw[j] = nodes[3 * nearest + j] +
+                    t * (sample[j] - nodes[3 * nearest + j]);
+        if (g->blocked(nw)) continue;
+
+        // ---- choose parent in the shrinking neighbourhood ----
+        double r = std::min(gamma * std::cbrt(std::log((double)count + 1.0) /
+                                              (count + 1.0)),
+                            4.0 * step);
+        int par = nearest;
+        double par_cost = costs[nearest] + dist3(&nodes[3 * nearest], nw);
+        std::vector<int> nbrs;
+        for (int k = 0; k < count; ++k) {
+            double d = dist3(&nodes[3 * k], nw);
+            if (d <= r) {
+                nbrs.push_back(k);
+                double c = costs[k] + d;
+                if (c < par_cost && !g->edge_blocked(&nodes[3 * k], nw)) {
+                    par = k;
+                    par_cost = c;
+                }
+            }
+        }
+        if (par == nearest && g->edge_blocked(&nodes[3 * nearest], nw))
+            continue;
+
+        int ni = count;
+        nodes.insert(nodes.end(), nw, nw + 3);
+        parents.push_back(par);
+        costs.push_back(par_cost);
+        children.emplace_back();
+        children[par].push_back(ni);
+
+        // ---- rewire neighbours through the new node ----
+        for (int k : nbrs) {
+            double d = dist3(&nodes[3 * k], nw);
+            double c_through = par_cost + d;
+            if (c_through + 1e-12 < costs[k] &&
+                !g->edge_blocked(nw, &nodes[3 * k])) {
+                auto& sib = children[parents[k]];
+                sib.erase(std::find(sib.begin(), sib.end(), k));
+                parents[k] = ni;
+                children[ni].push_back(k);
+                double dc = c_through - costs[k];
+                // propagate the cost improvement to all descendants
+                stack.assign(1, k);
+                while (!stack.empty()) {
+                    int v = stack.back();
+                    stack.pop_back();
+                    costs[v] += dc;
+                    for (int c2 : children[v]) stack.push_back(c2);
+                }
+            }
+        }
+
+        // ---- try the goal connection ----
+        double dg = dist3(nw, goal);
+        if (dg <= std::max(step, r) && par_cost + dg < best_cost &&
+            !g->edge_blocked(nw, goal)) {
+            best_cost = par_cost + dg;
+            best_goal_parent = ni;
+        }
+    }
+
+    // final sweep: rewiring can have made OTHER nodes cheaper routes to the
+    // goal than the one that held best_cost when it was connected — scan
+    // every node in goal range once (new nodes only try the connection at
+    // insertion time)
+    {
+        int count = (int)parents.size();
+        double r = std::min(gamma * std::cbrt(std::log((double)count + 1.0) /
+                                              (count + 1.0)),
+                            4.0 * step);
+        double rng_goal = std::max(step, r);
+        for (int k = 0; k < count; ++k) {
+            double dg = dist3(&nodes[3 * k], goal);
+            if (dg <= rng_goal && costs[k] + dg < best_cost &&
+                !g->edge_blocked(&nodes[3 * k], goal)) {
+                best_cost = costs[k] + dg;
+                best_goal_parent = k;
+            }
+        }
+    }
+
+    if (best_goal_parent < 0) return 0;
+    // best_goal_parent's cost may have improved via rewiring; the chain is
+    // whatever the tree says now
+    std::vector<int> chain;
+    int i = best_goal_parent;
+    while (i >= 0) { chain.push_back(i); i = parents[i]; }
+    int total = (int)chain.size() + 1;
+    if (total > max_pts) return -total;
+    int w = 0;
+    for (int k = (int)chain.size() - 1; k >= 0; --k, ++w)
+        std::memcpy(out_path + 3 * w, &nodes[3 * chain[k]],
+                    3 * sizeof(double));
+    std::memcpy(out_path + 3 * w, goal, 3 * sizeof(double));
+    return total;
 }
 
 // Batched corridor-window crop (the convexCover inner crop,

@@ -87,6 +87,39 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_step_matches_single_device_flagship_shape():
+    """VERDICT r2 next-#5: the sharded-vs-single equivalence at the FLAGSHIP
+    operating point (res=10, hidden 256, B=128 — runs/big3's shapes), not a
+    toy.  Reduced ADMM budget: iterations repeat the same sharded program
+    and only inflate CPU wall time."""
+    qcfg = QPConfig(order=4, res=10, max_vel=5.0, max_acc=7.0)
+    scfg = SolverConfig(n_chunks=1, iters_per_chunk=15)
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.42)
+    sc = scenarios.random_scenarios(qcfg, 128, seed=45, min_seg=1)
+    state, hpolys, seg, ref_times = (jnp.asarray(sc.state),
+                                     jnp.asarray(sc.hpolys),
+                                     jnp.asarray(sc.seg),
+                                     jnp.asarray(sc.times))
+    ts = ts_lib.init_state(net, TCFG, state, hpolys)
+
+    step = jax.jit(lambda ts_, st, hp, sg, rt: ts_lib.train_step(
+        ts_, net, TCFG, qcfg, scfg, LCFG, st, hp, sg, rt))
+    ts_ref, bundle_ref = step(ts, state, hpolys, seg, ref_times)
+
+    m = mesh_lib.make_mesh(8)
+    batch_sh = mesh_lib.shard_batch(m, (state, hpolys, seg, ref_times))
+    ts_sh = mesh_lib.replicate(m, ts)
+    ts_out, bundle_sh = step(ts_sh, *batch_sh)
+
+    np.testing.assert_allclose(float(bundle_sh.total), float(bundle_ref.total),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_ref.params),
+                    jax.tree.leaves(ts_out.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_grad_drives_times_toward_ref_when_unsolved():
     """The wt branch: with infeasibly small predicted times the gradient on
     the time head must be finite and nonzero (supervised fallback path)."""
