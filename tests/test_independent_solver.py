@@ -24,12 +24,13 @@ from allocnet_tpu.ops import admm, qp
 from allocnet_tpu.utils import scenarios
 
 
-def _dense_scenario(cfg, data, b):
-    """Dense (P, Aeq, beq, G, h) for scenario b via jacobians of the
-    structured batched operators (all linear in x)."""
+@jax.jit
+def _dense_ops(sl):
+    """Dense (A, P, beq, h) for a B=1 QPData slice via jacobians of the
+    structured batched operators (all linear in x).  Jitted once: every
+    scenario slice has identical shapes, so the trace is reused."""
+    cfg = sl.cfg
     n = cfg.max_seg * 3 * 2 * cfg.order
-    sl = jax.tree.map(lambda a: a[b:b + 1] if hasattr(a, 'ndim') and a.ndim
-                      else a, data)
 
     def a_flat(xf):
         x = xf.reshape(1, cfg.max_seg, 3, 2 * cfg.order)
@@ -39,10 +40,17 @@ def _dense_scenario(cfg, data, b):
         x = xf.reshape(1, cfg.max_seg, 3, 2 * cfg.order)
         return qp.apply_P(sl, x).reshape(-1)
 
-    A = np.asarray(jax.jacfwd(a_flat)(jnp.zeros(n, jnp.float64)))
-    P = np.asarray(jax.jacfwd(p_flat)(jnp.zeros(n, jnp.float64)))
-    beq = np.asarray(qp.tree_flat(qp.eq_rhs(sl), qp.EQ_KEYS)[0])
-    h = np.asarray(qp.tree_flat(qp.ineq_rhs(sl), qp.INEQ_KEYS)[0])
+    A = jax.jacfwd(a_flat)(jnp.zeros(n, jnp.float64))
+    P = jax.jacfwd(p_flat)(jnp.zeros(n, jnp.float64))
+    beq = qp.tree_flat(qp.eq_rhs(sl), qp.EQ_KEYS)[0]
+    h = qp.tree_flat(qp.ineq_rhs(sl), qp.INEQ_KEYS)[0]
+    return A, P, beq, h
+
+
+def _dense_scenario(cfg, data, b):
+    sl = jax.tree.map(lambda a: a[b:b + 1] if hasattr(a, 'ndim') and a.ndim
+                      else a, data)
+    A, P, beq, h = (np.asarray(x) for x in _dense_ops(sl))
     m_eq = beq.shape[0]
     return P, A[:m_eq], beq, A[m_eq:], h
 
