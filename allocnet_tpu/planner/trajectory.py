@@ -110,7 +110,14 @@ def sample(traj: Trajectory, n: int, max_deriv: int = 2) -> tuple[jax.Array, jax
 def max_rates(traj: Trajectory, samples_per_seg: int = 64) -> tuple[jax.Array, jax.Array]:
     """(max |vel| rate, max |acc| rate) per trajectory via dense tau sampling
     (replaces root-counting checkMaxVelRate/checkMaxAccRate,
-    trajectory.hpp:275-315). Norm over axes, max over segments and samples."""
+    trajectory.hpp:275-315). Norm over axes, max over segments and samples.
+    Einsums pinned to f32 MXU precision: the TPU bf16 default adds ~1e-2
+    relative noise to a limit check."""
+    with jax.default_matmul_precision('float32'):
+        return _max_rates_impl(traj, samples_per_seg)
+
+
+def _max_rates_impl(traj: Trajectory, samples_per_seg: int):
     B, S, _, D = traj.coeffs.shape
     taus = np.linspace(0.0, 1.0, samples_per_seg)
     # physical basis rows at t = tau * T: beta_r(tau*T)
@@ -213,8 +220,15 @@ def certified_max_rates(traj: Trajectory, levels: int = 3
     1e-3 relative (the same noise dense sampling has).  For hard
     certification run in float64 (CPU/x64 — the f64 tests agree with a
     50001-point sampler to 1e-9); on-TPU f32 results should be read with a
-    ~1% relative guard band.
+    ~1% relative guard band.  All einsums are pinned to full f32 MXU
+    precision — the TPU default (bf16 passes) is far too coarse for a
+    certificate.
     """
+    with jax.default_matmul_precision('float32'):
+        return _certified_max_rates_impl(traj, levels)
+
+
+def _certified_max_rates_impl(traj: Trajectory, levels: int):
     dtype = traj.coeffs.dtype
 
     def bounds(r: int):
