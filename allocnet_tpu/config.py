@@ -112,6 +112,15 @@ class SolverConfig:
     max_active: int = 64
     polish_delta: float = 1e-7
     polish_refine_steps: int = 2
+    # drop near-parallel rows from the polish active set (FIRI corridors
+    # carry near-duplicate faces whose offset gaps otherwise blow up the
+    # KKT multipliers as gap/delta — see admm.polish)
+    polish_dedup: bool = True
+    # classical active-set drop passes inside each polish round: re-solve
+    # after removing negative-multiplier rows.  Each pass costs one extra
+    # KKT factorization; 1 pass turns the ~12-round selection chase on
+    # degenerate FIRI geometry into ~2 rounds (see admm.polish).
+    polish_drop_passes: int = 1
     # KKT factorization for polish: "lu" = batched pivoted LU (XLA's, slow on
     # TPU: row pivoting serializes into gathers), "ldl" = pivot-free blocked
     # LDL^T (ops/ldl.py) valid for the quasi-definite regularized KKT —
@@ -205,10 +214,13 @@ class CorridorConfig:
     # Informed RRT* (the reference's actual front-end: OMPL InformedRRTstar,
     # sfc_gen.hpp:45-114): keep optimizing within the iteration/time budget
     # instead of returning the first path.  Needs the native runtime; the
-    # Python fallback stays plain RRT.  time budget 0 = iteration-bounded
-    # only (the reference uses 0.01 s, learning_planner.hpp:257).
+    # Python fallback stays plain RRT.  Default time budget 0 =
+    # iteration-bounded ONLY: a wall-clock budget makes the corridor depend
+    # on machine load (seeded runs stop being reproducible — tests and
+    # datagen need determinism).  Latency-critical online callers can set
+    # the reference's 0.01 s budget (learning_planner.hpp:257).
     use_rrt_star: bool = True
-    rrt_star_time_budget: float = 0.05
+    rrt_star_time_budget: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -250,8 +262,11 @@ DEPLOY = AllocNetConfig()
 # degenerate real-corridor geometry (near-duplicate FIRI faces stall the
 # duals at deploy settings).  Measured on a 200-scenario hard batch:
 # deploy settings 79/200 solved, these 157/200; latency is an offline
-# concern only.
-CERTIFY_SOLVER = SolverConfig(polish_rounds=4, iters_per_chunk=250)
+# concern only.  polish_rounds 6: with the drop/enter passes the active-set
+# iteration reaches the exact set in ~5 rounds even from a pri~0.15 ADMM
+# iterate (see admm.polish).
+CERTIFY_SOLVER = SolverConfig(n_chunks=4, iters_per_chunk=250,
+                              polish_rounds=6)
 
 # Training operating point (network configs): order per-config, res=10, v<=5, a<=7.
 TRAIN = AllocNetConfig(

@@ -291,9 +291,23 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat,
             jnp.take_along_axis(slack, idx, axis=1) < 1e-6)
 
     G_act, h_act = _gather_ineq_rows(data, idx)
-    G_act = G_act * active[..., None]
-    h_act = h_act * active
-
+    if scfg.polish_dedup:
+        # FIRI corridors emit near-duplicate faces; forcing two almost-
+        # parallel rows with slightly different offsets as equalities makes
+        # the KKT inconsistent by their offset gap and the regularized solve
+        # answers with a +/- (gap/delta) multiplier pair — polluting the
+        # dual residual so badly the polish never gets accepted.  Keep only
+        # the first (highest-scored) row of each near-parallel cluster.
+        dtype = x.dtype
+        af = active.astype(dtype)
+        nrm = jnp.sqrt(jnp.clip(jnp.einsum('bkn,bkn->bk', G_act, G_act),
+                                1e-12))
+        cos = jnp.einsum('bkn,bln->bkl', G_act, G_act) / (
+            nrm[:, :, None] * nrm[:, None, :])
+        prior = jnp.asarray(np.triu(np.ones((K, K)), 1), dtype)  # [l, k], l<k
+        dup = jnp.max((cos > 1.0 - 1e-5).astype(dtype)
+                      * af[:, :, None] * prior[None], axis=1)
+        active = active & (dup < 0.5)
     P = _dense_P_explicit(data)
     # in float32 the regularization must sit above roundoff; refinement
     # corrects the delta perturbation afterwards
@@ -303,73 +317,98 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat,
     m = m_eq + K
     kdim = n + m
 
-    A_full = jnp.concatenate([Aeq, G_act], axis=1)           # (B, m, n)
-    Kmat = jnp.zeros((B, kdim, kdim), dtype)
-    Kmat = Kmat.at[:, :n, :n].set(P + delta * jnp.eye(n, dtype=dtype))
-    Kmat = Kmat.at[:, :n, n:].set(jnp.swapaxes(A_full, 1, 2))
-    Kmat = Kmat.at[:, n:, :n].set(A_full)
-    Kmat = Kmat.at[:, n:, n:].set(-delta * jnp.eye(m, dtype=dtype))
+    def kkt_solve(active):
+        """Factor + solve + refine the KKT restricted to `active` rows."""
+        G_a = G_act * active[..., None]
+        h_a = h_act * active
+        A_full = jnp.concatenate([Aeq, G_a], axis=1)          # (B, m, n)
+        Kmat = jnp.zeros((B, kdim, kdim), dtype)
+        Kmat = Kmat.at[:, :n, :n].set(P + delta * jnp.eye(n, dtype=dtype))
+        Kmat = Kmat.at[:, :n, n:].set(jnp.swapaxes(A_full, 1, 2))
+        Kmat = Kmat.at[:, n:, :n].set(A_full)
+        Kmat = Kmat.at[:, n:, n:].set(-delta * jnp.eye(m, dtype=dtype))
+        rhs = jnp.concatenate(
+            [jnp.zeros((B, n), dtype), beq, h_a], axis=1)
 
-    rhs = jnp.concatenate(
-        [jnp.zeros((B, n), dtype), beq, h_act], axis=1)
+        if scfg.polish_method == "ldl":
+            # pivot-free quasi-definite LDL^T (ops/ldl.py): GEMM-shaped, no
+            # row pivoting.  Numerical recipe for f32 (without it ~1/3 of
+            # scenarios lose the polish):
+            #   1. STATIC symmetric permutation: Qhat has exact rank `order`
+            #      (only coefficients of degree >= order carry snap cost),
+            #      so in natural order half the primal pivots are exactly
+            #      delta and natural elimination divides O(1) constraint
+            #      entries by it.  Eliminate the PD coefficient slots first,
+            #      constraint rows next, and the P-null slots LAST — after
+            #      the constraint rows are eliminated the null slots have
+            #      picked up O(1) Schur terms.  Quasi-definiteness
+            #      (Vanderbei 1995) guarantees the factorization exists for
+            #      ANY symmetric permutation with the pivot signs still +1
+            #      on primal / -1 on dual slots.
+            #   2. Factor a more heavily regularized KKT (delta_f) to bound
+            #      the remaining element growth; the refinement below runs
+            #      against the TRUE KKT either way, so the perturbation
+            #      washes out.
+            from allocnet_tpu.ops import ldl as ldl_lib
+            df = jnp.asarray(max(scfg.polish_ldl_delta, delta_py), dtype)
+            slot = np.arange(n) % cfg.D
+            perm = np.concatenate([
+                np.nonzero(slot < cfg.order)[0],      # PD coefficient slots
+                np.arange(n, kdim),                    # constraint rows
+                np.nonzero(slot >= cfg.order)[0]])     # P-null slots last
+            iperm = np.argsort(perm)
+            sgn_nat = np.where(np.arange(kdim) < n, 1.0, -1.0)
+            Kf = Kmat + (df - delta) * jnp.asarray(
+                sgn_nat, dtype)[None] * jnp.eye(kdim, dtype=dtype)
+            Kf = Kf[:, perm][:, :, perm]
+            Kp, _, _ = ldl_lib.pad_to_block(Kf, rhs, nb=64)
+            L, dvec = ldl_lib.ldl_factor(
+                Kp, nb=64, reg=float(scfg.polish_ldl_delta),
+                sign=jnp.asarray(sgn_nat[perm], dtype))
+            kp = Kp.shape[1]
 
-    if scfg.polish_method == "ldl":
-        # pivot-free quasi-definite LDL^T (ops/ldl.py): GEMM-shaped, no row
-        # pivoting.  Numerical recipe for f32 (without it ~1/3 of scenarios
-        # lose the polish):
-        #   1. STATIC symmetric permutation: Qhat has exact rank `order`
-        #      (only coefficients of degree >= order carry snap cost), so in
-        #      natural order half the primal pivots are exactly delta and
-        #      natural elimination divides O(1) constraint entries by it.
-        #      Eliminate the PD coefficient slots first, constraint rows
-        #      next, and the P-null slots LAST — after the constraint rows
-        #      are eliminated the null slots have picked up O(1) Schur terms.
-        #      Quasi-definiteness (Vanderbei 1995) guarantees the
-        #      factorization exists for ANY symmetric permutation with the
-        #      pivot signs still +1 on primal / -1 on dual slots.
-        #   2. Factor a more heavily regularized KKT (delta_f) to bound the
-        #      remaining element growth; the refinement below runs against
-        #      the TRUE KKT either way, so the perturbation washes out.
-        from allocnet_tpu.ops import ldl as ldl_lib
-        df = jnp.asarray(max(scfg.polish_ldl_delta, delta_py), dtype)
-        slot = np.arange(n) % cfg.D
-        perm = np.concatenate([
-            np.nonzero(slot < cfg.order)[0],          # PD coefficient slots
-            np.arange(n, kdim),                        # constraint rows
-            np.nonzero(slot >= cfg.order)[0]])         # P-null slots last
-        iperm = np.argsort(perm)
-        sgn_nat = np.where(np.arange(kdim) < n, 1.0, -1.0)
-        Kf = Kmat + (df - delta) * jnp.asarray(sgn_nat, dtype)[None] * jnp.eye(
-            kdim, dtype=dtype)
-        Kf = Kf[:, perm][:, :, perm]
-        Kp, _, _ = ldl_lib.pad_to_block(Kf, rhs, nb=64)
-        L, dvec = ldl_lib.ldl_factor(
-            Kp, nb=64, reg=float(scfg.polish_ldl_delta),
-            sign=jnp.asarray(sgn_nat[perm], dtype))
-        kp = Kp.shape[1]
+            def solve_fn(r):
+                rpad = jnp.zeros((B, kp), dtype).at[:, :kdim].set(r[:, perm])
+                return ldl_lib.ldl_solve(L, dvec, rpad)[:, :kdim][:, iperm]
+        else:
+            lu, piv = jax.scipy.linalg.lu_factor(Kmat)
 
-        def solve_fn(r):
-            rpad = jnp.zeros((B, kp), dtype).at[:, :kdim].set(r[:, perm])
-            return ldl_lib.ldl_solve(L, dvec, rpad)[:, :kdim][:, iperm]
-    else:
-        lu, piv = jax.scipy.linalg.lu_factor(Kmat)
+            def solve_fn(r):
+                return jax.scipy.linalg.lu_solve((lu, piv), r)
 
-        def solve_fn(r):
-            return jax.scipy.linalg.lu_solve((lu, piv), r)
+        sol = solve_fn(rhs)
 
-    sol = solve_fn(rhs)
+        def kkt_residual(sol):
+            xx, mults = sol[:, :n], sol[:, n:]
+            r1 = jnp.einsum('bnm,bm->bn', P, xx) \
+                + jnp.einsum('bmn,bm->bn', A_full, mults)
+            r2 = jnp.einsum('bmn,bn->bm', A_full, xx) \
+                - jnp.concatenate([beq, h_a], axis=1)
+            return jnp.concatenate([r1, r2], axis=1)
 
-    def kkt_residual(sol):
-        xx, mults = sol[:, :n], sol[:, n:]
-        r1 = jnp.einsum('bnm,bm->bn', P, xx) + jnp.einsum('bmn,bm->bn', A_full, mults)
-        r2 = jnp.einsum('bmn,bn->bm', A_full, xx) - jnp.concatenate([beq, h_act], axis=1)
-        return jnp.concatenate([r1, r2], axis=1)
+        n_refine = scfg.polish_refine_steps + (
+            1 if scfg.polish_method == "ldl" else 0)
+        for _ in range(n_refine):
+            sol = sol - solve_fn(kkt_residual(sol))
+        return sol
 
-    n_refine = scfg.polish_refine_steps + (
-        1 if scfg.polish_method == "ldl" else 0)
-    for _ in range(n_refine):
-        r = kkt_residual(sol)
-        sol = sol - solve_fn(r)
+    # classical active-set DROP/ENTER passes within the gathered candidate
+    # rows: a superfluous row forced into the equality set comes back with a
+    # negative multiplier (drop it); a candidate the current solution
+    # violates must bind (re-enter it).  This removes the gap/delta
+    # multiplier pollution that otherwise keeps the whole polish from being
+    # accepted — measured on degenerate FIRI-corridor geometry the outer
+    # selection loop alone chases near-duplicate face pairs for ~12 rounds.
+    sol = kkt_solve(active)
+    for _ in range(scfg.polish_drop_passes):
+        lam_act = sol[:, n + m_eq:]
+        lam_mag = jnp.maximum(
+            jnp.max(jnp.abs(lam_act), axis=1, keepdims=True), 1.0)
+        keep = lam_act > -1e-7 * lam_mag
+        xx = sol[:, :n]
+        viol = (jnp.einsum('bkn,bn->bk', G_act, xx) - h_act) > 1e-7
+        active = (active & keep) | viol
+        sol = kkt_solve(active)
 
     x_pol = sol[:, :n].reshape(x.shape)
     nu_pol = sol[:, n:n + m_eq]

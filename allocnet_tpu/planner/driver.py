@@ -239,15 +239,33 @@ def _advance(cfg: AllocNetConfig, dt: float, plan_c: jax.Array,
                     prev=prev, done=done)
 
 
+# a first segment shorter than this fraction of its successor is a SLIVER:
+# the snap weight ratio (t1/t2)^-(2o-1) exceeds ~5e3 and float32 ADMM stops
+# converging (measured: ratio 0.2 fails, 0.25 passes on the demo missions)
+SLIVER_RATIO = 0.3
+
+
 def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
                state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
                prev: PlanState):
     """One warm tick: re-solve from the pinned state with the shifted
     previous plan as warm start, fall back to tracking it on failure, then
-    advance.  Returns (solved, plan_c, times, advance)."""
+    advance.  Returns (solved, plan_c, times, advance).
+
+    Sliver handling: as the vehicle crosses a polytope, the first segment's
+    remaining time shrinks toward zero and its T^-(2o-1) snap weight
+    explodes relative to the next segment's — ill-conditioned beyond f32.
+    When t1 < SLIVER_RATIO * t2 the tick instead FREEZES piece 1 to the
+    previous plan's (feasible) sub-arc and re-solves only the remaining
+    corridor from the junction state, splicing the results.  The junction
+    is an old constrained sample point, so the sub-problem start is
+    feasible by construction; continuity at the splice is C^2 (p, v, a
+    pinned), matching the guarantee the QP gives the mission start."""
     qcfg = cfg.qp
     S = qcfg.max_seg
+    D = qcfg.D
     dtype = prev.coeffs.dtype
+    B = state9.shape[0]
     mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(dtype)
     times_q = jnp.where(mask > 0, jnp.maximum(prev.times, T_MIN), 1.0)
 
@@ -258,12 +276,47 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
                                       times_q, seg, steps=refine_steps)
         times_q = jnp.where(mask > 0, jnp.maximum(ref.times, T_MIN), 1.0)
 
-    data = qp.build_qp(qcfg, state9, hpolys, times_q, seg)
-    x0 = qp.scale_coeffs(data, prev.coeffs)
+    sliver = (seg > 1) & (times_q[:, 0] < SLIVER_RATIO * times_q[:, 1])
+
+    # sub-problem B: corridor/plan rolled by one, start pinned at the
+    # junction state of the previous plan's piece 0
+    t1 = times_q[:, 0]
+    c0 = prev.coeffs[:, 0]                                     # (B, 3, D)
+    rows = jnp.stack([trajectory._deriv_row(D, r, t1) for r in range(3)],
+                     axis=1)                                   # (B, 3, D)
+    junc = jnp.einsum('brd,bxd->bxr', rows, c0)                # (B, 3, 3)
+    state9_b = state9.at[:, 0].set(junc)
+    src = jnp.clip(jnp.arange(S)[None, :] + 1, 0, S - 1) * jnp.ones(
+        (B, 1), jnp.int32)
+    hp_b = jnp.take_along_axis(hpolys, src[:, :, None, None], axis=1)
+    seg_b = seg - 1
+    mask_b = (jnp.arange(S)[None, :] < seg_b[:, None]).astype(dtype)
+    times_b = jnp.where(mask_b > 0, jnp.take_along_axis(times_q, src, axis=1),
+                        1.0)
+    coeffs_b = jnp.take_along_axis(prev.coeffs, src[:, :, None, None], axis=1)
+
+    sel = lambda b, a: jnp.where(
+        sliver.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+    state9_s = sel(state9_b, state9)
+    hp_s = sel(hp_b, hpolys)
+    times_s = sel(times_b, times_q)
+    seg_s = jnp.where(sliver, seg_b, seg)
+    warm_c = sel(coeffs_b, prev.coeffs)
+
+    data = qp.build_qp(qcfg, state9_s, hp_s, times_s, seg_s)
+    x0 = qp.scale_coeffs(data, warm_c)
     sol = admm.solve_qp(data, replan.warm_solver_config(cfg.solver), x0=x0)
 
+    # splice sliver solutions back: slot 0 = frozen previous piece, slots
+    # 1.. = the sub-problem's pieces
+    dst = jnp.clip(jnp.arange(S)[None, :] - 1, 0, S - 1) * jnp.ones(
+        (B, 1), jnp.int32)
+    unrolled = jnp.take_along_axis(sol.coeffs, dst[:, :, None, None], axis=1)
+    unrolled = unrolled.at[:, 0].set(prev.coeffs[:, 0])
+    sol_c = sel(unrolled, sol.coeffs)
+
     use = sol.solved.reshape(-1, 1, 1, 1)
-    plan_c = jnp.where(use, sol.coeffs, prev.coeffs)
+    plan_c = jnp.where(use, sol_c, prev.coeffs)
     adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg)
     return sol.solved, plan_c, times_q * mask, adv
 

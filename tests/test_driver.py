@@ -46,9 +46,16 @@ def test_driver_ticks_with_goal_change():
     # certification-grade budget (config.CERTIFY_SOLVER): random synthetic
     # corridors are hard for the deploy budget (~40% solve rate on the
     # measured hard batch) and this test needs a reliably-solving scenario
+    # plain-RRT front-end: this test isolates LOOP mechanics on a benign
+    # scenario (see docstring note below).  The RRT*-preferred route for
+    # seed 5 crosses a corridor whose QP sits beyond the f32 ADMM's
+    # convergence on this map — a solver-tail property tracked in
+    # ROADMAP.md, not a loop property.
+    from allocnet_tpu.config import CorridorConfig
     cfg = AllocNetConfig(qp=QPConfig(res=10),
-                         solver=SolverConfig(polish_rounds=4,
-                                             iters_per_chunk=250))
+                         solver=SolverConfig(n_chunks=4, polish_rounds=6,
+                                             iters_per_chunk=250),
+                         corridor=CorridorConfig(use_rrt_star=False))
     pts = _pillar_map()
     pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
                                  dilate_r=2)
