@@ -68,6 +68,100 @@ struct Grid {
     }
 };
 
+// Uniform bucket index over tree nodes: O(1) amortized nearest-node and
+// radius queries, replacing the O(N)-per-iteration linear scans that made
+// RRT* quadratic in iteration count (an OMPL NearestNeighborsGNAT
+// equivalent, shaped for the bounded workspace: cell ~= step so a cell
+// holds O(1) nodes).
+struct NodeIndex {
+    double lo[3];
+    double cell;
+    int nx, ny, nz;
+    std::vector<std::vector<int>> cells;
+    const std::vector<double>* nodes;  // flat xyz triples
+
+    void init(const double* lo_, const double* hi_, double cell_,
+              const std::vector<double>* nodes_) {
+        std::memcpy(lo, lo_, sizeof(lo));
+        cell = cell_;
+        nx = std::max(1, (int)std::ceil((hi_[0] - lo_[0]) / cell));
+        ny = std::max(1, (int)std::ceil((hi_[1] - lo_[1]) / cell));
+        nz = std::max(1, (int)std::ceil((hi_[2] - lo_[2]) / cell));
+        cells.assign((size_t)nx * ny * nz, {});
+        nodes = nodes_;
+    }
+
+    inline void coords(const double* p, int* c) const {
+        c[0] = std::clamp((int)((p[0] - lo[0]) / cell), 0, nx - 1);
+        c[1] = std::clamp((int)((p[1] - lo[1]) / cell), 0, ny - 1);
+        c[2] = std::clamp((int)((p[2] - lo[2]) / cell), 0, nz - 1);
+    }
+
+    void insert(int i, const double* p) {
+        int c[3];
+        coords(p, c);
+        cells[(size_t)(c[0] * ny + c[1]) * nz + c[2]].push_back(i);
+    }
+
+    // index of the nearest node; best_d2 <- squared distance.  Expanding
+    // shell search: a node in shell s is at least (s-1)*cell away, so once
+    // sqrt(best_d2) < (s-1)*cell no farther shell can win.
+    int nearest(const double* p, double* best_d2) const {
+        int c[3];
+        coords(p, c);
+        int best = -1;
+        double bd2 = 1e300;
+        int smax = std::max({nx, ny, nz});
+        for (int s = 0; s <= smax; ++s) {
+            if (best >= 0) {
+                double lb = (double)(s - 1) * cell;
+                if (lb > 0 && lb * lb > bd2) break;
+            }
+            int x0 = std::max(c[0] - s, 0), x1 = std::min(c[0] + s, nx - 1);
+            int y0 = std::max(c[1] - s, 0), y1 = std::min(c[1] + s, ny - 1);
+            int z0 = std::max(c[2] - s, 0), z1 = std::min(c[2] + s, nz - 1);
+            for (int x = x0; x <= x1; ++x)
+                for (int y = y0; y <= y1; ++y)
+                    for (int z = z0; z <= z1; ++z) {
+                        // shell only: skip the interior already scanned
+                        if (s > 0 && x != x0 && x != x1 && y != y0 &&
+                            y != y1 && z != z0 && z != z1)
+                            continue;
+                        for (int k : cells[(size_t)(x * ny + y) * nz + z]) {
+                            const double* q = nodes->data() + 3 * k;
+                            double dx = q[0] - p[0], dy = q[1] - p[1],
+                                   dz = q[2] - p[2];
+                            double d2 = dx * dx + dy * dy + dz * dz;
+                            if (d2 < bd2) { bd2 = d2; best = k; }
+                        }
+                    }
+        }
+        *best_d2 = bd2;
+        return best;
+    }
+
+    // all node indices within radius r of p (appended to out)
+    void radius(const double* p, double r, std::vector<int>* out) const {
+        out->clear();
+        int c0[3], c1[3];
+        double pl[3] = {p[0] - r, p[1] - r, p[2] - r};
+        double ph[3] = {p[0] + r, p[1] + r, p[2] + r};
+        coords(pl, c0);
+        coords(ph, c1);
+        double r2 = r * r;
+        for (int x = c0[0]; x <= c1[0]; ++x)
+            for (int y = c0[1]; y <= c1[1]; ++y)
+                for (int z = c0[2]; z <= c1[2]; ++z)
+                    for (int k : cells[(size_t)(x * ny + y) * nz + z]) {
+                        const double* q = nodes->data() + 3 * k;
+                        double dx = q[0] - p[0], dy = q[1] - p[1],
+                               dz = q[2] - p[2];
+                        if (dx * dx + dy * dy + dz * dz <= r2)
+                            out->push_back(k);
+                    }
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -228,6 +322,11 @@ int rrt_star_plan(void* grid, const double* start, const double* goal,
     costs.push_back(0.0);
     children.emplace_back();
 
+    NodeIndex index;
+    index.init(g->lo, g->hi, std::max(step, g->scale), &nodes);
+    index.insert(0, start);
+    std::vector<int> nbrs;
+
     auto dist3 = [](const double* a, const double* b) {
         double dx = a[0] - b[0], dy = a[1] - b[1], dz = a[2] - b[2];
         return std::sqrt(dx * dx + dy * dy + dz * dz);
@@ -305,17 +404,10 @@ int rrt_star_plan(void* grid, const double* start, const double* goal,
             if (g->blocked(sample)) continue;
         }
 
-        // ---- steer from nearest ----
+        // ---- steer from nearest (bucket index; was an O(N) scan) ----
         int count = (int)parents.size();
-        int nearest = 0;
-        double bestd = 1e300;
-        for (int k = 0; k < count; ++k) {
-            double dx = nodes[3 * k] - sample[0];
-            double dy = nodes[3 * k + 1] - sample[1];
-            double dz = nodes[3 * k + 2] - sample[2];
-            double d = dx * dx + dy * dy + dz * dz;
-            if (d < bestd) { bestd = d; nearest = k; }
-        }
+        double bestd;
+        int nearest = index.nearest(sample, &bestd);
         double dn = std::sqrt(bestd);
         if (dn < 1e-9) continue;
         double t = step < dn ? step / dn : 1.0;
@@ -330,16 +422,12 @@ int rrt_star_plan(void* grid, const double* start, const double* goal,
                             4.0 * step);
         int par = nearest;
         double par_cost = costs[nearest] + dist3(&nodes[3 * nearest], nw);
-        std::vector<int> nbrs;
-        for (int k = 0; k < count; ++k) {
-            double d = dist3(&nodes[3 * k], nw);
-            if (d <= r) {
-                nbrs.push_back(k);
-                double c = costs[k] + d;
-                if (c < par_cost && !g->edge_blocked(&nodes[3 * k], nw)) {
-                    par = k;
-                    par_cost = c;
-                }
+        index.radius(nw, r, &nbrs);
+        for (int k : nbrs) {
+            double c = costs[k] + dist3(&nodes[3 * k], nw);
+            if (c < par_cost && !g->edge_blocked(&nodes[3 * k], nw)) {
+                par = k;
+                par_cost = c;
             }
         }
         if (par == nearest && g->edge_blocked(&nodes[3 * nearest], nw))
@@ -351,6 +439,7 @@ int rrt_star_plan(void* grid, const double* start, const double* goal,
         costs.push_back(par_cost);
         children.emplace_back();
         children[par].push_back(ni);
+        index.insert(ni, nw);
 
         // ---- rewire neighbours through the new node ----
         for (int k : nbrs) {
