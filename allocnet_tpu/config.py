@@ -116,11 +116,17 @@ class SolverConfig:
     # carry near-duplicate faces whose offset gaps otherwise blow up the
     # KKT multipliers as gap/delta — see admm.polish)
     polish_dedup: bool = True
-    # classical active-set drop passes inside each polish round: re-solve
-    # after removing negative-multiplier rows.  Each pass costs one extra
-    # KKT factorization; 1 pass turns the ~12-round selection chase on
-    # degenerate FIRI geometry into ~2 rounds (see admm.polish).
-    polish_drop_passes: int = 1
+    # classical active-set drop/enter passes inside each polish round:
+    # re-solve after removing negative-multiplier rows and re-entering
+    # violated candidates.  Each pass costs one extra KKT factorization;
+    # 1 pass turns the ~12-round selection chase on degenerate FIRI
+    # geometry into ~2 rounds (see admm.polish).  Default 0 at the deploy
+    # budget: measured at B=1024 deploy shapes the pass costs 12.5%
+    # throughput (3143 -> 2750 solves/s) for +0.3pp raw solve rate that
+    # the untimed certification-budget tail rescue recovers anyway; the
+    # warm-tick (replan.warm_solver_config) and certification budgets,
+    # where the degenerate corridors actually bite, force it >= 1.
+    polish_drop_passes: int = 0
     # KKT factorization for polish: "lu" = batched pivoted LU (XLA's, slow on
     # TPU: row pivoting serializes into gathers), "ldl" = pivot-free blocked
     # LDL^T (ops/ldl.py) valid for the quasi-definite regularized KKT —
@@ -266,7 +272,7 @@ DEPLOY = AllocNetConfig()
 # iteration reaches the exact set in ~5 rounds even from a pri~0.15 ADMM
 # iterate (see admm.polish).
 CERTIFY_SOLVER = SolverConfig(n_chunks=4, iters_per_chunk=250,
-                              polish_rounds=6)
+                              polish_rounds=6, polish_drop_passes=1)
 
 # Training operating point (network configs): order per-config, res=10, v<=5, a<=7.
 TRAIN = AllocNetConfig(

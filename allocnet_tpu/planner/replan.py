@@ -41,7 +41,11 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
     return dataclasses.replace(
         scfg, n_chunks=1,
         iters_per_chunk=max(60, scfg.iters_per_chunk // 2),
-        polish_rounds=max(2, scfg.polish_rounds))
+        polish_rounds=max(2, scfg.polish_rounds),
+        # warm ticks hit the degenerate-corridor geometry the drop/enter
+        # passes exist for, and the tick is RTT-dominated -- the extra KKT
+        # factorization is free latency-wise (see SolverConfig)
+        polish_drop_passes=max(1, scfg.polish_drop_passes))
 
 
 def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:
