@@ -112,6 +112,15 @@ class SolverConfig:
     max_active: int = 64
     polish_delta: float = 1e-7
     polish_refine_steps: int = 2
+    # the reference's solution sanity window (qp_solver.hpp:340-345): a
+    # plan whose snap objective falls outside it is treated as unsolved.
+    # Correct for PLAN-time solves (full rest-to-rest missions, where a
+    # huge objective means a garbage allocation), but mid-flight warm
+    # re-solves with ~0.1 s of mission remaining legitimately reach
+    # obj ~ T^-(2o-1) >> 5000 -- replan.warm_solver_config lifts obj_max
+    # (residual gates still reject divergence; NaN fails any comparison).
+    obj_min: float = -0.01
+    obj_max: float = 5000.0
     # drop near-parallel rows from the polish active set (FIRI corridors
     # carry near-duplicate faces whose offset gaps otherwise blow up the
     # KKT multipliers as gap/delta — see admm.polish)

@@ -541,7 +541,7 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
     tol_d = scfg.eps_abs * 10 + scfg.eps_rel * 10 * dua_sc
     solved = (
         (pri_a < tol_p) & (dua_a < tol_d)
-        & (obj < 5000.0) & (obj > -0.01)
+        & (obj < scfg.obj_max) & (obj > scfg.obj_min)
     )
     lam_tree = unflatten_duals(data, jnp.concatenate([nu * 0, lam], axis=1))
     lam_tree = {k: lam_tree[k] for k in INEQ_KEYS}

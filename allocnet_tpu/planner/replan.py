@@ -45,7 +45,11 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
         # warm ticks hit the degenerate-corridor geometry the drop/enter
         # passes exist for, and the tick is RTT-dominated -- the extra KKT
         # factorization is free latency-wise (see SolverConfig)
-        polish_drop_passes=max(1, scfg.polish_drop_passes))
+        polish_drop_passes=max(1, scfg.polish_drop_passes),
+        # final-approach re-solves (seg=1, ~0.1 s remaining) legitimately
+        # exceed the reference's plan-time sanity ceiling (obj ~ T^-(2o-1));
+        # residual gates still reject divergence (see SolverConfig.obj_max)
+        obj_max=float("inf"))
 
 
 def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:
