@@ -132,7 +132,7 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     sigma = jnp.asarray(scfg.sigma, dtype)
     alpha = jnp.asarray(scfg.alpha, dtype)
 
-    def one_iter(carry, _, M, Minv):
+    def one_iter(carry, _, M, Minv, rho_e_cur, rho_i_cur):
         x, z, y = carry
         rho = _rho_tree(y, rho_e_cur, rho_i_cur)
         rhs_tree = tmap(lambda zz, yy, rr: rr * zz - yy, z, y, rho)
@@ -156,13 +156,17 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
                      v, z_new, rho)
         return (x_new, z_new, y_new), None
 
-    for _ in range(scfg.n_chunks):
-        rho_e_cur, rho_i_cur = rho_e, rho_i
+    # chunks as a lax.scan, NOT an unrolled Python loop: the body (normal-
+    # matrix rebuild + inverse + inner iteration scan + rho adaptation) is
+    # identical each chunk, and unrolling it made compile time scale with
+    # the budget (the certification budget's 4 chunks compiled 4 copies)
+    def one_chunk(carry, _):
+        x, z, y, rho_e_cur, rho_i_cur = carry
         M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)
         Minv = spd_inverse(M)
         (x, z, y), _ = jax.lax.scan(
-            lambda c, s: one_iter(c, s, M, Minv), (x, z, y), None,
-            length=scfg.iters_per_chunk)
+            lambda c, s: one_iter(c, s, M, Minv, rho_e_cur, rho_i_cur),
+            (x, z, y), None, length=scfg.iters_per_chunk)
         pri, pri_rel, dua, dua_rel = _residuals(data, x, z, y, beq, h)
         ratio = jnp.sqrt((pri / jnp.maximum(pri_rel, 1e-12))
                          / jnp.maximum(dua / jnp.maximum(dua_rel, 1e-12), 1e-12))
@@ -172,8 +176,12 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
         factor = jnp.clip(ratio, 0.5, 5.0)
         # upper clip keeps rho_eq = rho * rho_eq_scale inside float32's
         # comfortable conditioning range
-        rho_i = jnp.clip(rho_i * factor, 0.25 * scfg.rho, 100.0)
-        rho_e = rho_i * scfg.rho_eq_scale
+        rho_i_new = jnp.clip(rho_i_cur * factor, 0.25 * scfg.rho, 100.0)
+        rho_e_new = rho_i_new * scfg.rho_eq_scale
+        return (x, z, y, rho_e_new, rho_i_new), None
+
+    (x, z, y, rho_e, rho_i), _ = jax.lax.scan(
+        one_chunk, (x, z, y, rho_e, rho_i), None, length=scfg.n_chunks)
 
     pri, _, dua, _ = _residuals(data, x, z, y, beq, h)
     return x, z, y, rho_e, rho_i, pri, dua
@@ -279,16 +287,20 @@ def polish(data: QPData, scfg: SolverConfig, x, y, beq_flat, h_flat, lam_flat,
     ax_flat = qp.tree_flat(qp.apply_A(data, x), EQ_KEYS + INEQ_KEYS)[:, m_eq:]
     slack = h_flat - ax_flat
     scale = jnp.maximum(jnp.max(jnp.abs(lam_flat), axis=1, keepdims=True), 1.0)
-    if refine_sel:
-        score = lam_flat / scale - slack
-        _, idx = jax.lax.top_k(score, K)
-        active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-7 * scale) | (
-            jnp.take_along_axis(slack, idx, axis=1) < -1e-7)
-    else:
-        score = jnp.maximum(lam_flat, 0.0) / scale - jnp.maximum(slack, 0.0)
-        _, idx = jax.lax.top_k(score, K)
-        active = (jnp.take_along_axis(lam_flat, idx, axis=1) > 1e-5 * scale) | (
-            jnp.take_along_axis(slack, idx, axis=1) < 1e-6)
+    # refine_sel may be a TRACED boolean (the polish rounds run under
+    # lax.scan with round index as input), so both selection rules are
+    # written as one where-select — same top_k either way
+    refine_sel = jnp.asarray(refine_sel)
+    score = jnp.where(refine_sel,
+                      lam_flat / scale - slack,
+                      jnp.maximum(lam_flat, 0.0) / scale
+                      - jnp.maximum(slack, 0.0))
+    _, idx = jax.lax.top_k(score, K)
+    lam_k = jnp.take_along_axis(lam_flat, idx, axis=1)
+    slack_k = jnp.take_along_axis(slack, idx, axis=1)
+    active = jnp.where(refine_sel,
+                       (lam_k > 1e-7 * scale) | (slack_k < -1e-7),
+                       (lam_k > 1e-5 * scale) | (slack_k < 1e-6))
 
     G_act, h_act = _gather_ineq_rows(data, idx)
     if scfg.polish_dedup:
@@ -509,14 +521,19 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
         # advance to the latest finite polish point even when that point is
         # not yet accepted, so a partially-wrong active set can correct
         # itself over rounds.
-        x_sel, lam_sel = x, lam
-        for r in range(scfg.polish_rounds):
+        # rounds as a lax.scan (round index as input: round 0 selects from
+        # the ADMM iterate, later rounds from signed polish multipliers) —
+        # unrolled, compile time scaled with polish_rounds since each round
+        # instantiated its own KKT factorization graph
+        def one_round(carry, r):
+            x, nu, lam, pri_a, dua_a, polished, x_sel, lam_sel = carry
             x_p, nu_p, lam_ps, _ = polish(data, scfg, x_sel, y, beq, h_flat,
                                           lam_sel, refine_sel=(r > 0))
             lam_p = jnp.maximum(lam_ps, 0.0)
             pri_p, dua_p = _full_residuals(data, x_p, nu_p, lam_p, beq, h_flat)
             finite = jnp.all(jnp.isfinite(x_p.reshape(B, -1)), axis=1)
-            better = finite & (jnp.maximum(pri_p, dua_p) < jnp.maximum(pri_a, dua_a))
+            better = finite & (jnp.maximum(pri_p, dua_p)
+                               < jnp.maximum(pri_a, dua_a))
             pick = lambda a, b: jnp.where(
                 better.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
             x = pick(x_p, x)
@@ -529,6 +546,11 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
                 finite.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
             x_sel = fpick(x_p, x_sel)
             lam_sel = fpick(lam_ps, lam_sel)
+            return (x, nu, lam, pri_a, dua_a, polished, x_sel, lam_sel), None
+
+        (x, nu, lam, pri_a, dua_a, polished, _, _), _ = jax.lax.scan(
+            one_round, (x, nu, lam, pri_a, dua_a, polished, x, lam),
+            jnp.arange(scfg.polish_rounds))
 
     coeffs = qp.unscale_coeffs(data, x)
     obj = qp.objective(data, x)

@@ -431,7 +431,12 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
         / rho_i[:, None, None]
     yehp = _yeq_pack(y, MEQ) / rho_e[:, None, None]
 
-    for _ in range(scfg.n_chunks):
+    # chunks as a lax.scan: the body (normal-matrix rebuild + fused inverse
+    # + one pallas_call + rho adaptation) is identical per chunk; unrolled
+    # it instantiated n_chunks copies of the kernel in the compiled program
+    # and compile time scaled with the budget
+    def one_chunk(carry, _):
+        xp, zp, yhp, yehp, rho_i, rho_e = carry
         M = qp.normal_matrix(data, sigma, rho_e.astype(dtype),
                              rho_i.astype(dtype))
         Minv = admm_mod.spd_inverse(M)
@@ -465,6 +470,18 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
         yehp = yehp * (rho_i / rho_i_new)[:, None, None]
         rho_i = rho_i_new
         rho_e = rho_i * scfg.rho_eq_scale
+        return (xp, zp, yhp, yehp, rho_i, rho_e), None
+
+    (xp, zp, yhp, yehp, rho_i, rho_e), _ = jax.lax.scan(
+        one_chunk, (xp, zp, yhp, yehp, rho_i, rho_e), None,
+        length=scfg.n_chunks)
+
+    x = _x_unpack(xp, cfg, dtype)
+    zi = _ineq_unpack(zp, cfg, dtype)
+    yi = _ineq_unpack(yhp * rho_i[:, None, None], cfg, dtype)
+    ye = _yeq_unpack(yehp * rho_e[:, None, None], cfg, dtype)
+    z = dict(beq_tree, **zi)
+    y = dict(ye, **yi)
 
     pri, _, dua, _ = admm_mod._residuals(data, x, z, y, beq_tree, hh)
     return x, z, y, rho_e.astype(dtype), rho_i.astype(dtype), pri, dua
