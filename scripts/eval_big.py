@@ -43,7 +43,13 @@ CACHE = "/root/repo/data/eval_fresh.npz"
 
 
 def fresh_scenarios(n: int, seed0: int = 9000) -> ScenarioBatch:
-    gen_cfg = AllocNetConfig()        # datagen ran at the default op point
+    # datagen op point, with the front-end PINNED to plain RRT: the cached
+    # eval set (data/eval_fresh.npz, committed) was generated before
+    # Informed RRT* became the config default; a cache regen must
+    # reproduce the same scenario distribution the committed eval JSONs
+    # were measured on.
+    from allocnet_tpu.config import CorridorConfig
+    gen_cfg = AllocNetConfig(corridor=CorridorConfig(use_rrt_star=False))
     parts, mi = [], 0
     got = 0
     while got < n and mi < 40:

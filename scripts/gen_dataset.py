@@ -41,7 +41,13 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = AllocNetConfig()
+    # PIN the plain-RRT front-end: the committed corpora (runs/big3/big4
+    # trained on them) and the eval cache were generated before Informed
+    # RRT* became the config default -- regeneration must reproduce that
+    # distribution bit-for-bit, and plain RRT is also ~100 ms/plan cheaper
+    # in datagen.  New corpora can opt into the RRT* front-end explicitly.
+    from allocnet_tpu.config import CorridorConfig
+    cfg = AllocNetConfig(corridor=CorridorConfig(use_rrt_star=False))
     total = 0
     mi = 0
     t_start = time.time()
