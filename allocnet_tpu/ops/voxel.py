@@ -63,9 +63,31 @@ def dilate(occ: jax.Array, r: int) -> tuple[jax.Array, jax.Array]:
     return cur, cur & ~prev
 
 
+def voxelize_host(points: np.ndarray, origin, size: tuple[int, int, int],
+                  scale: float) -> np.ndarray:
+    """Host-side voxelize (NumPy scatter), semantics identical to
+    voxelize().  The point count varies per map, so the traced scatter
+    recompiles for every new cloud shape — through a tunneled device that
+    is minutes per MAP in datagen; the occupancy grid is data prep, not
+    differentiable compute, so it belongs on host."""
+    pts = np.asarray(points)
+    ids = np.floor((pts - np.asarray(origin, pts.dtype)) / scale).astype(
+        np.int64)
+    inb = np.all((ids >= 0) & (ids < np.asarray(size)), axis=1)
+    ids = ids[inb]
+    grid = np.zeros(size, bool)
+    grid[ids[:, 0], ids[:, 1], ids[:, 2]] = True
+    return grid
+
+
+_dilate_jit = jax.jit(dilate, static_argnums=1)
+
+
 def make_grid(points, origin, size, scale: float, dilate_r: int) -> VoxelGrid:
-    occ0 = voxelize(points, origin, size, scale)
-    occ, surf = dilate(occ0, dilate_r)
+    # host scatter (shape-proof) + one fixed-shape jitted dilation per grid
+    # size — map builds stopped costing a fresh device compile per cloud
+    occ0 = jnp.asarray(voxelize_host(np.asarray(points), origin, size, scale))
+    occ, surf = _dilate_jit(occ0, dilate_r)
     return VoxelGrid(occ=occ, surf=surf,
                      origin=jnp.asarray(origin, jnp.float32),
                      scale=jnp.asarray(scale, jnp.float32))
