@@ -148,6 +148,18 @@ class SolverConfig:
     # pivot magnitude); 1e-5 = the f32 polish delta, i.e. no extra
     # perturbation beyond what the LU path already uses.
     polish_ldl_delta: float = 1e-5
+    # update the x-update inverse across rho rescales by a Newton-Schulz
+    # correction instead of a fresh batched Cholesky.  Both rho_e and rho_i
+    # rescale by the same per-scenario factor f (rho_e = rho_i *
+    # rho_eq_scale), so M' = N + f*P with N the rho-independent part
+    # (objective + sigma + padded-segment identity blocks) and P the
+    # constraint part: Minv' = inv(I + (f-1) Minv P) Minv, where the inner
+    # inverse is Newton-Schulz from X0 = 2/(1+f) I (spectrum of I+(f-1)MinvP
+    # lies in [min(1,f), max(1,f)] because 0 <= P <= M).  ~10 MXU matmuls
+    # replace a ~24 ms batched 120x120 Cholesky per rescale at B=1024
+    # (admm.ns_update_inverse).  Off for the f64 certification budget, which
+    # keeps exact refactors.
+    ns_rho_update: bool = True
     # run the ADMM chunks in the fused tiled Pallas TPU kernel (per-scenario
     # matrices + solver state VMEM-resident across all iterations of a chunk,
     # zero per-iteration HBM traffic); falls back to the XLA scan on
@@ -281,7 +293,8 @@ DEPLOY = AllocNetConfig()
 # iteration reaches the exact set in ~5 rounds even from a pri~0.15 ADMM
 # iterate (see admm.polish).
 CERTIFY_SOLVER = SolverConfig(n_chunks=4, iters_per_chunk=250,
-                              polish_rounds=6, polish_drop_passes=1)
+                              polish_rounds=6, polish_drop_passes=1,
+                              ns_rho_update=False)
 
 # Training operating point (network configs): order per-config, res=10, v<=5, a<=7.
 TRAIN = AllocNetConfig(

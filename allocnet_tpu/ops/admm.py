@@ -113,6 +113,33 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     return jnp.einsum('bki,bkj->bij', Linv, Linv)
 
 
+def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array, k: int = 4):
+    """Update Minv = (N + P)^-1 to (N + f P)^-1 without re-factorizing.
+
+    The chunk-boundary rho rescale multiplies BOTH rho_e and rho_i by the
+    same per-scenario factor f in [0.5, 5] (rho_e = rho_i * rho_eq_scale),
+    so only the constraint part P of the normal matrix scales:
+    M' = M + (f-1) P = M (I + (f-1) Minv P).  Hence
+    Minv' = inv(K) Minv with K = I + (f-1) Minv P.  Because 0 <= P <= M,
+    Minv P is similar to an SPD matrix with spectrum in [0, 1], so
+    spec(K) lies in [min(1,f), max(1,f)] and Newton-Schulz on K from the
+    scalar start X0 = 2/(1+f) I contracts the residual by
+    (|f-1|/(f+1))^(2^k) <= (2/3)^16 ~ 1.5e-3 at k=4 — absorbed by the one
+    iterative-refinement step every x-update already applies.  Cost:
+    ~2k+2 batched matmuls (MXU work) vs a batched 120x120 Cholesky.
+
+    Returns (Minv', P') with P' = f P so the caller can chain updates.
+    """
+    n = Minv.shape[-1]
+    eye = jnp.eye(n, dtype=Minv.dtype)
+    f = f.reshape(-1, 1, 1).astype(Minv.dtype)
+    K = eye + (f - 1.0) * (Minv @ P)
+    X = (2.0 / (1.0 + f)) * jnp.broadcast_to(eye, K.shape)
+    for _ in range(k):
+        X = X @ (2.0 * eye - K @ X)
+    return X @ Minv, f * P
+
+
 def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua)."""
     cfg = data.cfg
@@ -159,11 +186,28 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     # chunks as a lax.scan, NOT an unrolled Python loop: the body (normal-
     # matrix rebuild + inverse + inner iteration scan + rho adaptation) is
     # identical each chunk, and unrolling it made compile time scale with
-    # the budget (the certification budget's 4 chunks compiled 4 copies)
+    # the budget (the certification budget's 4 chunks compiled 4 copies).
+    # The first chunk's inverse is a Cholesky (robust at any conditioning);
+    # later chunks update it across the rho rescale with ns_update_inverse
+    # (f = 1 on the first pass makes the scan body uniform: K = I exactly
+    # and the update is the identity).
+    M0 = qp.normal_matrix(data, sigma, rho_e, rho_i)
+    Minv0 = spd_inverse(M0)
+    if scfg.ns_rho_update:
+        N = qp.normal_matrix(data, sigma, jnp.zeros((), dtype),
+                             jnp.zeros((), dtype))
+        P0 = M0 - N
+    else:
+        N = P0 = jnp.zeros((), dtype)   # unused; keeps the carry static
+
     def one_chunk(carry, _):
-        x, z, y, rho_e_cur, rho_i_cur = carry
-        M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)
-        Minv = spd_inverse(M)
+        x, z, y, rho_e_cur, rho_i_cur, Minv, P, f = carry
+        if scfg.ns_rho_update:
+            Minv, P = ns_update_inverse(Minv, P, f)
+            M = N + P
+        else:
+            M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)
+            Minv = spd_inverse(M)
         (x, z, y), _ = jax.lax.scan(
             lambda c, s: one_iter(c, s, M, Minv, rho_e_cur, rho_i_cur),
             (x, z, y), None, length=scfg.iters_per_chunk)
@@ -178,10 +222,15 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
         # comfortable conditioning range
         rho_i_new = jnp.clip(rho_i_cur * factor, 0.25 * scfg.rho, 100.0)
         rho_e_new = rho_i_new * scfg.rho_eq_scale
-        return (x, z, y, rho_e_new, rho_i_new), None
+        # effective rescale factor (post-clip) for the next chunk's inverse
+        # update; stays in [0.5, 5] because the clip only pulls it toward 1
+        f_new = rho_i_new / rho_i_cur
+        return (x, z, y, rho_e_new, rho_i_new, Minv, P, f_new), None
 
-    (x, z, y, rho_e, rho_i), _ = jax.lax.scan(
-        one_chunk, (x, z, y, rho_e, rho_i), None, length=scfg.n_chunks)
+    (x, z, y, rho_e, rho_i, _, _, _), _ = jax.lax.scan(
+        one_chunk,
+        (x, z, y, rho_e, rho_i, Minv0, P0, jnp.ones((B,), dtype)),
+        None, length=scfg.n_chunks)
 
     pri, _, dua, _ = _residuals(data, x, z, y, beq, h)
     return x, z, y, rho_e, rho_i, pri, dua

@@ -434,12 +434,30 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
     # chunks as a lax.scan: the body (normal-matrix rebuild + fused inverse
     # + one pallas_call + rho adaptation) is identical per chunk; unrolled
     # it instantiated n_chunks copies of the kernel in the compiled program
-    # and compile time scaled with the budget
+    # and compile time scaled with the budget.  The first chunk's inverse
+    # is a Cholesky; later chunks cross the rho rescale with the
+    # Newton-Schulz update (admm.ns_update_inverse) — ~10 MXU matmuls
+    # instead of a fresh batched 120x120 factorization (f = 1 on the first
+    # pass keeps the scan body uniform: the update is exactly the identity).
+    M0 = qp.normal_matrix(data, sigma, rho_e.astype(dtype),
+                          rho_i.astype(dtype))
+    Minv0 = admm_mod.spd_inverse(M0)
+    if scfg.ns_rho_update:
+        Nmat = qp.normal_matrix(data, sigma, jnp.zeros((), dtype),
+                                jnp.zeros((), dtype))
+        P0 = M0 - Nmat
+    else:
+        Nmat = P0 = jnp.zeros((), dtype)
+
     def one_chunk(carry, _):
-        xp, zp, yhp, yehp, rho_i, rho_e = carry
-        M = qp.normal_matrix(data, sigma, rho_e.astype(dtype),
-                             rho_i.astype(dtype))
-        Minv = admm_mod.spd_inverse(M)
+        xp, zp, yhp, yehp, rho_i, rho_e, Minv, P, f = carry
+        if scfg.ns_rho_update:
+            Minv, P = admm_mod.ns_update_inverse(Minv, P, f)
+            M = Nmat + P
+        else:
+            M = qp.normal_matrix(data, sigma, rho_e.astype(dtype),
+                                 rho_i.astype(dtype))
+            Minv = admm_mod.spd_inverse(M)
         mats = (
             _fused_refined_inverse(M.astype(jnp.float32),
                                    Minv.astype(jnp.float32), NQ), aeq,
@@ -468,13 +486,18 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
         # rescale the packed scaled duals to the new rho before re-entering
         yhp = yhp * (rho_i / rho_i_new)[:, None, None]
         yehp = yehp * (rho_i / rho_i_new)[:, None, None]
+        # effective (post-clip) rescale factor for the next chunk's
+        # Newton-Schulz inverse update; stays in [0.5, 5]
+        f_new = rho_i_new / rho_i
         rho_i = rho_i_new
         rho_e = rho_i * scfg.rho_eq_scale
-        return (xp, zp, yhp, yehp, rho_i, rho_e), None
+        return (xp, zp, yhp, yehp, rho_i, rho_e, Minv, P, f_new), None
 
-    (xp, zp, yhp, yehp, rho_i, rho_e), _ = jax.lax.scan(
-        one_chunk, (xp, zp, yhp, yehp, rho_i, rho_e), None,
-        length=scfg.n_chunks)
+    (xp, zp, yhp, yehp, rho_i, rho_e, _, _, _), _ = jax.lax.scan(
+        one_chunk,
+        (xp, zp, yhp, yehp, rho_i, rho_e, Minv0, P0,
+         jnp.ones((B,), jnp.float32)),
+        None, length=scfg.n_chunks)
 
     x = _x_unpack(xp, cfg, dtype)
     zi = _ineq_unpack(zp, cfg, dtype)
