@@ -110,10 +110,20 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
     Linv = jax.lax.linalg.triangular_solve(
         L, eye, left_side=True, lower=True)
-    return jnp.einsum('bki,bkj->bij', Linv, Linv)
+    Minv = jnp.einsum('bki,bkj->bij', Linv, Linv)
+    # One Newton step against the UNJITTERED M squares the jitter+roundoff
+    # residual (~1e-2 relative at the f32 conditioning edge -> ~1e-4): two
+    # batched matmuls (pure MXU work) buy back the +1.2% of deploy-shape
+    # scenarios that the jittered inverse alone stalls (three seeds, B=256
+    # each: 253/251/254 -> 255/254/256 solved; tests/test_ns_update.py),
+    # and pin the refactor path to the same accuracy the refined
+    # Newton-Schulz chunk update delivers so ns on/off stay in lockstep.
+    eyeN = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return Minv @ (2.0 * eyeN - M @ Minv)
 
 
-def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array, k: int = 4):
+def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array,
+                      N: jax.Array, k: int = 4):
     """Update Minv = (N + P)^-1 to (N + f P)^-1 without re-factorizing.
 
     The chunk-boundary rho rescale multiplies BOTH rho_e and rho_i by the
@@ -125,10 +135,21 @@ def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array, k: int = 4):
     spec(K) lies in [min(1,f), max(1,f)] and Newton-Schulz on K from the
     scalar start X0 = 2/(1+f) I contracts the residual by
     (|f-1|/(f+1))^(2^k) <= (2/3)^16 ~ 1.5e-3 at k=4 — absorbed by the one
-    iterative-refinement step every x-update already applies.  Cost:
-    ~2k+2 batched matmuls (MXU work) vs a batched 120x120 Cholesky.
+    iterative-refinement step every x-update already applies.
 
-    Returns (Minv', P') with P' = f P so the caller can chain updates.
+    That bound assumes the incoming Minv is exact; it is actually the
+    jittered f32 Cholesky inverse (~1e-2 relative, see spd_inverse), and
+    chaining updates across chunks compounds the error — measured on
+    seed-7 B=256 deploy shapes the drift cost 3 scenarios their dual
+    convergence (ADVICE r3).  The final GLOBAL Newton step against the
+    exact reconstructed M' = N + f P squares the accumulated residual
+    each chunk (r -> r^2), pinning the chained update at the one-shot
+    Cholesky's own accuracy: the same 256-scenario batch then solves the
+    identical set with and without the update (tests/test_ns_update.py).
+    Cost: ~2k+4 batched matmuls (MXU work) vs a batched 120x120 Cholesky.
+
+    Returns (Minv', P') with P' = f P so the caller can chain updates
+    (M' = N + P').
     """
     n = Minv.shape[-1]
     eye = jnp.eye(n, dtype=Minv.dtype)
@@ -137,7 +158,10 @@ def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array, k: int = 4):
     X = (2.0 / (1.0 + f)) * jnp.broadcast_to(eye, K.shape)
     for _ in range(k):
         X = X @ (2.0 * eye - K @ X)
-    return X @ Minv, f * P
+    Minv2 = X @ Minv
+    P2 = f * P
+    Minv2 = Minv2 @ (2.0 * eye - (N + P2) @ Minv2)
+    return Minv2, P2
 
 
 def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
@@ -203,7 +227,7 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
     def one_chunk(carry, _):
         x, z, y, rho_e_cur, rho_i_cur, Minv, P, f = carry
         if scfg.ns_rho_update:
-            Minv, P = ns_update_inverse(Minv, P, f)
+            Minv, P = ns_update_inverse(Minv, P, f, N)
             M = N + P
         else:
             M = qp.normal_matrix(data, sigma, rho_e_cur, rho_i_cur)

@@ -452,7 +452,7 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
     def one_chunk(carry, _):
         xp, zp, yhp, yehp, rho_i, rho_e, Minv, P, f = carry
         if scfg.ns_rho_update:
-            Minv, P = admm_mod.ns_update_inverse(Minv, P, f)
+            Minv, P = admm_mod.ns_update_inverse(Minv, P, f, Nmat)
             M = Nmat + P
         else:
             M = qp.normal_matrix(data, sigma, rho_e.astype(dtype),

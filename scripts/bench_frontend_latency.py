@@ -1,0 +1,194 @@
+"""Front-end latency-vs-quality curve + end-to-end cold-plan breakdown.
+
+VERDICT r3 next-step #2: round 3 benchmarked Informed RRT* quality at 40k
+iterations (2.45 s p50) and never measured the deployed 5k default or any
+budget compatible with 10 Hz replanning.  This script owns the latency
+story:
+
+  1. CURVE — the same 50 scenarios as bench_frontend.py (5 clutter maps x
+     10 pairs), planned by plain RRT and by Informed RRT* at iteration caps
+     {1k, 2.5k, 5k, 10k, 40k}: wall p50/p95 and path length on the
+     common-found set.  The reference anchor is OMPL InformedRRTstar under
+     a 0.01 s budget (sfc_gen.hpp:45-114, learning_planner.hpp:257).
+     Iteration caps (not wall budgets) keep the deployed corridor
+     DETERMINISTIC per seed (config.py rrt_star_time_budget rationale).
+
+  2. COLD PLAN — the reference's per-plan total-time print
+     (learning_planning.cpp:158-165: path + corridor + inference + QP) as
+     one measured number at the deploy operating point (res=20, v<=4,
+     a<=6), per phase, over 20 fresh scenarios via utils/timing.PhaseTimer.
+
+Writes runs/frontend/latency_curve.json and updates results.json's wall
+numbers story.  Host + one chip; no multi-device needed.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.models import import_torch, packing
+from allocnet_tpu.models.networks import ConvLSTMAllocNet
+from allocnet_tpu.ops import admm, qp
+from allocnet_tpu.planner import planner as planner_lib
+from allocnet_tpu.planner import sfc
+from allocnet_tpu.train import datagen
+from allocnet_tpu.utils.timing import PhaseTimer
+
+OUT = "runs/frontend"
+ITER_CAPS = (1000, 2500, 5000, 10000, 40000)
+
+
+def path_len(route):
+    return float(np.linalg.norm(np.diff(route, axis=0), axis=1).sum())
+
+
+def scenario_stream(map_seeds, per_map, min_dist=10.0):
+    for m, seed in enumerate(map_seeds):
+        pts = datagen.random_obstacle_map(seed=seed)
+        pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4],
+                                     scale=0.25, dilate_r=2)
+        assert pmap.native is not None, "native runtime required"
+        rng = np.random.default_rng(m)
+        done = 0
+        while done < per_map:
+            start = rng.uniform([1, 1, 0.8], [19, 19, 3.2])
+            goal = rng.uniform([1, 1, 0.8], [19, 19, 3.2])
+            if (np.linalg.norm(goal - start) < min_dist
+                    or pmap.native.blocked(start)
+                    or pmap.native.blocked(goal)):
+                continue
+            yield pmap, start, goal
+            done += 1
+
+
+def latency_curve(cfg):
+    arms = [("rrt", dict(use_rrt_star=False, rrt_max_iter=5000))]
+    for cap in ITER_CAPS:
+        arms.append((f"rrt_star_{cap}",
+                     dict(use_rrt_star=True, rrt_max_iter=cap)))
+    walls = {n: [] for n, _ in arms}
+    lens = {n: [] for n, _ in arms}   # per-scenario; nan when not found
+    for k, (pmap, start, goal) in enumerate(
+            scenario_stream([200 + m for m in range(5)], 10)):
+        for name, kw in arms:
+            ccfg = dataclasses.replace(cfg.corridor, **kw)
+            t0 = time.perf_counter()
+            route = planner_lib.search_route(pmap, start, goal, ccfg, seed=k)
+            walls[name].append(time.perf_counter() - t0)
+            lens[name].append(path_len(route) if route is not None
+                              else np.nan)
+    common = ~np.any([np.isnan(lens[n]) for n, _ in arms], axis=0)
+    out = {"n_scenarios": int(len(walls["rrt"])),
+           "common_found": int(common.sum()), "arms": {}}
+    base = np.asarray(lens["rrt"])[common]
+    for name, _ in arms:
+        w = np.asarray(walls[name])
+        L = np.asarray(lens[name])
+        out["arms"][name] = {
+            "found": int((~np.isnan(L)).sum()),
+            "wall_ms_p50": round(float(np.percentile(w, 50) * 1e3), 3),
+            "wall_ms_p95": round(float(np.percentile(w, 95) * 1e3), 3),
+            "mean_path_len_m": round(float(L[common].mean()), 3),
+            "len_reduction_vs_rrt": round(
+                float(1.0 - L[common].mean() / base.mean()), 4),
+        }
+    return out
+
+
+def cold_plan(cfg, net, params):
+    """Per-plan phase breakdown at the deploy point, B=1 like the
+    reference's single-goal plan() path."""
+    qcfg = cfg.qp
+
+    infer = jax.jit(lambda st, hp: net.apply(
+        params, packing.pack_state(st), packing.pack_hpolys(hp)))
+    S = qcfg.max_seg
+    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
+        qp.build_qp(qcfg, st, hp, tm, sg), cfg.solver))
+
+    rows = []
+    for k, (pmap, start, goal) in enumerate(
+            scenario_stream([210, 211], 10)):
+        pt = PhaseTimer()
+        with pt.phase("path"):
+            route = planner_lib.search_route(pmap, start, goal, cfg.corridor,
+                                             seed=1000 + k)
+        if route is None:
+            continue
+        with pt.phase("corridor"):
+            polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi,
+                                     cfg.corridor)
+            polys = sfc.short_cut(polys)
+            if len(polys) > S:
+                continue
+            polys = sfc.normalize_polys(polys)
+            hp, seg = sfc.to_padded(polys, qcfg)
+        state9 = np.zeros((1, 2, 3, 3), np.float32)
+        state9[0, 0, :, 0] = start
+        state9[0, 1, :, 0] = route[-1]
+        st_d = jnp.asarray(state9)
+        hp_d = jnp.asarray(hp, jnp.float32)[None]
+        sg_d = jnp.asarray([seg])
+        with pt.phase("inference"):
+            out = infer(st_d, hp_d)
+            times, _ = out if isinstance(out, tuple) else (out, None)
+            times = jax.block_until_ready(times)
+        mask = (np.arange(S) < seg).astype(np.float32)
+        tm_d = jnp.where(jnp.asarray(mask)[None] > 0,
+                         jnp.maximum(times, 0.05), 1.0)
+        with pt.phase("qp"):
+            sol = solve(st_d, hp_d, tm_d, sg_d)
+            solved = bool(np.asarray(sol.solved)[0])
+        s = pt.summary()
+        rows.append({ph: s[ph]["mean_ms"] for ph in
+                     ("path", "corridor", "inference", "qp")}
+                    | {"solved": solved})
+    # first row carries jit compiles for inference/qp even with jit reuse
+    # across scenarios (shape-stable): drop it from the statistics
+    rows_t = rows[1:]
+    agg = {}
+    for ph in ("path", "corridor", "inference", "qp"):
+        v = np.asarray([r[ph] for r in rows_t])
+        agg[ph + "_ms_p50"] = round(float(np.percentile(v, 50)), 2)
+    tot = np.asarray([r["path"] + r["corridor"] + r["inference"] + r["qp"]
+                      for r in rows_t])
+    agg["total_ms_p50"] = round(float(np.percentile(tot, 50)), 2)
+    agg["total_ms_p95"] = round(float(np.percentile(tot, 95)), 2)
+    agg["n_plans"] = len(rows_t)
+    agg["solved_frac"] = round(float(np.mean([r["solved"] for r in rows_t])),
+                               4)
+    return agg
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    cfg = AllocNetConfig()      # deploy point: res=20, v<=4, a<=6
+
+    curve = latency_curve(cfg)
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
+    params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(
+        "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
+    cold = cold_plan(cfg, net, params)
+
+    out = {"curve": curve, "cold_plan_deploy": cold,
+           "deployed_frontend": {
+               "use_rrt_star": cfg.corridor.use_rrt_star,
+               "rrt_max_iter": cfg.corridor.rrt_max_iter,
+               "time_budget_s": cfg.corridor.rrt_star_time_budget}}
+    with open(os.path.join(OUT, "latency_curve.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Statistical 10 Hz drive eval at the REFERENCE DEPLOY OPERATING POINT.
+
+VERDICT r3 next-step #1: the round-3 flight demo flew two missions on one
+pillar map at a softened operating point (res=10, v<=8, a<=12).  This eval
+flies the receding-horizon driver at the reference's deployed setting —
+res=20 constraint samples per segment, max_vel=4 m/s, max_acc=6 m/s^2
+(/root/reference/config/planner.yaml:17-23, = this repo's QPConfig
+defaults) — across many missions on many varied maps, and reports the
+arrival / tick-solve / latency DISTRIBUTION, not an existence proof.
+
+Per mission: sample a far-apart (start, goal) pair on a random clutter map
+(datagen.random_obstacle_map: pillars, boxes, walls with openings), build
+the corridor (RRT + FIRI + shortcut), then fly the clocked driver
+(cold tick = net inference + hedged QP batch; warm ticks = feasible-by-
+construction warm-started re-solves at 10 Hz) until arrival or the cap.
+
+Writes runs/drive/drive_eval.json:
+  arrival_rate        fraction of missions that reach the goal (done flag
+                      AND final distance < 0.3 m)
+  tick_solve_rate     fraction of pre-arrival ticks whose QP re-solve
+                      converged (tracking fallback ticks are the rest)
+  wall_p50/p99_ms     per-tick wall latency through the device link
+Targets (VERDICT): arrival >= 0.95, solve >= 0.99, p99 < 100 ms.
+
+Usage: python scripts/drive_eval.py [n_maps missions_per_map max_ticks]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from allocnet_tpu.config import AllocNetConfig
+from allocnet_tpu.models import import_torch
+from allocnet_tpu.models.networks import ConvLSTMAllocNet
+from allocnet_tpu.planner import driver as driver_lib
+from allocnet_tpu.planner import planner as planner_lib
+from allocnet_tpu.train import datagen
+
+OUT = "/root/repo/runs/drive"
+EXTENT = (20.0, 20.0, 4.0)
+ARRIVE_DIST = 0.3
+
+
+def sample_missions(pmap, cfg, rng, want, lo, hi):
+    """Sample `want` corridor-feasible (start, goal, plan) missions."""
+    out = []
+    attempts = 0
+    while len(out) < want and attempts < 40 * want:
+        attempts += 1
+        start = rng.uniform(lo + 0.8, hi - 0.8)
+        goal = rng.uniform(lo + 0.8, hi - 0.8)
+        if np.linalg.norm(goal - start) < 0.4 * np.linalg.norm(hi - lo):
+            continue
+        cp = planner_lib.plan_corridor(pmap, start, goal, cfg,
+                                       seed=int(rng.integers(1 << 30)))
+        if cp.ok and cp.seg >= 1:
+            out.append((start, cp))
+    return out
+
+
+def main():
+    n_maps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    per_map = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    max_ticks = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+
+    os.makedirs(OUT, exist_ok=True)
+    cfg = AllocNetConfig()      # THE deploy point: res=20, v<=4, a<=6
+    lo, hi = np.zeros(3), np.asarray(EXTENT)
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
+    params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(
+        "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
+
+    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
+    t0 = time.perf_counter()
+    drv.prewarm()
+    prewarm_s = time.perf_counter() - t0
+
+    missions = []
+    lats_all = []
+    rng = np.random.default_rng(12345)
+    for mi in range(n_maps):
+        map_seed = 100 + mi
+        pts = datagen.random_obstacle_map(map_seed, EXTENT)
+        pmap = planner_lib.build_map(pts, lo, hi, scale=0.25, dilate_r=2)
+        plans = sample_missions(pmap, cfg, rng, per_map, lo, hi)
+        for start, cp in plans:
+            st = drv.reset(start, cp.route[-1], cp.hpolys, cp.seg)
+            st, res = drv.run(st, max_ticks, stop_when_done=True)
+            dist = float(np.linalg.norm(st.pos - st.goal))
+            solved = np.array([r.solved for r in res])
+            tracking = np.array([r.tracking for r in res])
+            lats = [r.latency_s for r in res]
+            lats_all += lats
+            missions.append({
+                "map_seed": map_seed,
+                "start": [round(float(v), 3) for v in start],
+                "goal": [round(float(v), 3) for v in cp.route[-1]],
+                "seg": int(cp.seg),
+                "n_ticks": len(res),
+                "arrived": bool(st.done) and dist < ARRIVE_DIST,
+                "final_dist_m": round(dist, 4),
+                "solve_rate": round(float(solved.mean()), 4),
+                "tracking_rate": round(float(tracking.mean()), 4),
+            })
+            m = missions[-1]
+            print(f"map {map_seed} mission {len(missions)}: "
+                  f"arrived={m['arrived']} dist={m['final_dist_m']} "
+                  f"ticks={m['n_ticks']} solve={m['solve_rate']}",
+                  flush=True)
+
+    lats = np.asarray(lats_all)
+    arr = np.array([m["arrived"] for m in missions])
+    n_ticks = np.array([m["n_ticks"] for m in missions])
+    solve_ticks = np.array([m["solve_rate"] * m["n_ticks"] for m in missions])
+    out = {
+        "operating_point": {"res": cfg.qp.res, "max_vel": cfg.qp.max_vel,
+                            "max_acc": cfg.qp.max_acc,
+                            "order": cfg.qp.order},
+        "n_maps": n_maps,
+        "n_missions": len(missions),
+        "arrival_rate": round(float(arr.mean()), 4),
+        "tick_solve_rate": round(float(solve_ticks.sum() / n_ticks.sum()), 4),
+        "wall_p50_ms": round(float(np.percentile(lats, 50) * 1e3), 2),
+        "wall_p99_ms": round(float(np.percentile(lats, 99) * 1e3), 2),
+        "prewarm_compile_s": round(prewarm_s, 2),
+        "tick_budget_ms": 100.0,
+        "final_dist_p50_m": round(float(np.percentile(
+            [m["final_dist_m"] for m in missions], 50)), 4),
+        "missions": missions,
+    }
+    with open(os.path.join(OUT, "drive_eval.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "missions"}))
+
+
+if __name__ == "__main__":
+    main()
