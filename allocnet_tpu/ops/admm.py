@@ -138,15 +138,18 @@ def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array,
     iterative-refinement step every x-update already applies.
 
     That bound assumes the incoming Minv is exact; it is actually the
-    jittered f32 Cholesky inverse (~1e-2 relative, see spd_inverse), and
-    chaining updates across chunks compounds the error — measured on
-    seed-7 B=256 deploy shapes the drift cost 3 scenarios their dual
-    convergence (ADVICE r3).  The final GLOBAL Newton step against the
-    exact reconstructed M' = N + f P squares the accumulated residual
-    each chunk (r -> r^2), pinning the chained update at the one-shot
-    Cholesky's own accuracy: the same 256-scenario batch then solves the
-    identical set with and without the update (tests/test_ns_update.py).
-    Cost: ~2k+4 batched matmuls (MXU work) vs a batched 120x120 Cholesky.
+    (refined) f32 Cholesky inverse, and chaining updates across chunks
+    compounds the error — measured on seed-7 B=256 deploy shapes the drift
+    cost 3 scenarios their dual convergence (ADVICE r3).  The TWO final
+    GLOBAL Newton steps against the exact reconstructed M' = N + f P
+    square the accumulated residual twice per chunk (r -> r^4), pinning
+    the chained update at the refined one-shot Cholesky's own accuracy:
+    the same 256-scenario batch then solves the identical set with and
+    without the update (tests/test_ns_update.py), and on hard real-map
+    res=20 corridors one step was measurably not enough (dua stalled at
+    ~5e-2 where the re-factorization path reached 1e-5; the second step
+    closes it).  Cost: ~2k+6 batched matmuls (MXU work) vs a batched
+    120x120 Cholesky.
 
     Returns (Minv', P') with P' = f P so the caller can chain updates
     (M' = N + P').
@@ -160,12 +163,22 @@ def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array,
         X = X @ (2.0 * eye - K @ X)
     Minv2 = X @ Minv
     P2 = f * P
-    Minv2 = Minv2 @ (2.0 * eye - (N + P2) @ Minv2)
+    M2 = N + P2
+    for _ in range(2):
+        Minv2 = Minv2 @ (2.0 * eye - M2 @ Minv2)
     return Minv2, P2
 
 
-def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
-    """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua)."""
+def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None,
+               y0: dict | None = None):
+    """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua).
+
+    x0/y0 warm-start the primal/dual iterates (OSQP warm_start semantics).
+    Carrying BOTH matters: restarting from the optimal x with zero duals
+    measurably diverges within a small budget on hard corridors — the
+    z/y updates first have to re-discover the active set (the 10 Hz
+    driver's round-3 warm-tick failures); with y0 the iterates stay at
+    the fixed point and the residual check passes immediately."""
     cfg = data.cfg
     dtype = data.times.dtype
     B = data.times.shape[0]
@@ -176,7 +189,7 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None):
 
     x = jnp.zeros((B, cfg.max_seg, 3, cfg.D), dtype) if x0 is None else x0
     z = _project(qp.apply_A(data, x), beq, h)
-    y = tmap(jnp.zeros_like, z)
+    y = tmap(jnp.zeros_like, z) if y0 is None else y0
 
     rho_i = jnp.full((B,), scfg.rho, dtype)
     rho_e = rho_i * scfg.rho_eq_scale
@@ -555,17 +568,20 @@ def unflatten_duals(data: QPData, y_flat: jax.Array) -> dict:
     return out
 
 
-def solve_qp(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None) -> QPSolution:
+def solve_qp(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None,
+             y0: dict | None = None) -> QPSolution:
     """Full batched solve: ADMM + optional polish + status.
+
+    x0/y0: primal/dual warm start (see admm_solve).
 
     All matmuls/einsums are pinned to full float32 precision: the TPU MXU's
     default (bfloat16 passes) destroys an iterative solver's convergence.
     """
     with jax.default_matmul_precision('float32'):
-        return _solve_qp_impl(data, scfg, x0)
+        return _solve_qp_impl(data, scfg, x0, y0)
 
 
-def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
+def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0, y0) -> QPSolution:
     cfg = data.cfg
     B = data.times.shape[0]
 
@@ -575,7 +591,7 @@ def _solve_qp_impl(data: QPData, scfg: SolverConfig, x0) -> QPSolution:
         if admm_tiled.supported(cfg) and jax.default_backend() != "cpu":
             core = admm_tiled.admm_solve_tiled
 
-    x, z, y, rho_e, rho_i, pri_admm, dua_admm = core(data, scfg, x0)
+    x, z, y, rho_e, rho_i, pri_admm, dua_admm = core(data, scfg, x0, y0)
 
     beq = qp.tree_flat(qp.eq_rhs(data), EQ_KEYS)
     h_flat = qp.tree_flat(qp.ineq_rhs(data), INEQ_KEYS)

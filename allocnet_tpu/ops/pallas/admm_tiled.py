@@ -370,10 +370,11 @@ def _yeq_unpack(arr, cfg, dtype):
     }
 
 
-def admm_solve_tiled(data: qp.QPData, scfg: SolverConfig, x0=None,
+def admm_solve_tiled(data: qp.QPData, scfg: SolverConfig, x0=None, y0=None,
                      interpret: bool = False):
     """Drop-in replacement for admm.admm_solve with the fused tiled kernel
-    as the inner iteration engine.  Signature/result match admm_solve.
+    as the inner iteration engine.  Signature/result match admm_solve
+    (including the x0/y0 primal/dual warm start).
 
     Batches that do not divide the tile are PADDED up to the next tile
     multiple (scenario 0 replicated) and the results sliced back: Mosaic
@@ -389,15 +390,16 @@ def admm_solve_tiled(data: qp.QPData, scfg: SolverConfig, x0=None,
                               a.shape[0] == B else a)
         data_p = jax.tree.map(pad_leaf, data)
         x0_p = None if x0 is None else pad_leaf(x0)
-        out = _admm_solve_tiled_impl(data_p, scfg, x0_p, interpret)
+        y0_p = None if y0 is None else jax.tree.map(pad_leaf, y0)
+        out = _admm_solve_tiled_impl(data_p, scfg, x0_p, y0_p, interpret)
         return jax.tree.map(
             lambda a: a[:B] if hasattr(a, 'ndim') and a.ndim and
             a.shape[0] == B + pad else a, out)
-    return _admm_solve_tiled_impl(data, scfg, x0, interpret)
+    return _admm_solve_tiled_impl(data, scfg, x0, y0, interpret)
 
 
 def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
-                           interpret: bool = False):
+                           y0=None, interpret: bool = False):
     from allocnet_tpu.ops import admm as admm_mod
 
     cfg = data.cfg
@@ -413,7 +415,7 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
 
     x = jnp.zeros((B, cfg.max_seg, 3, cfg.D), dtype) if x0 is None else x0
     z = admm_mod._project(qp.apply_A(data, x), beq_tree, hh)
-    y = jax.tree.map(jnp.zeros_like, z)
+    y = jax.tree.map(jnp.zeros_like, z) if y0 is None else y0
 
     rho_i = jnp.full((B,), scfg.rho, jnp.float32)
     rho_e = rho_i * scfg.rho_eq_scale

@@ -67,10 +67,18 @@ T_MIN = 0.05
 
 
 class PlanState(NamedTuple):
-    """Previous accepted plan, aligned to the CURRENT (rolled) corridor."""
+    """Previous accepted plan, aligned to the CURRENT (rolled) corridor.
+
+    `duals` carries the previous solve's multipliers (tree over the QP's
+    EQ+INEQ row groups, rolled alongside the corridor): ADMM restarted
+    from the optimal x with ZERO duals measurably diverges within the
+    warm budget on hard res=20 corridors (the z/y updates re-discover
+    the active set from scratch), while the (x, y) pair keeps the
+    iterates at the fixed point — OSQP's own warm_start carries both."""
     coeffs: jax.Array     # (B, S, 3, D) physical coefficients
     times: jax.Array      # (B, S) masked segment times (0 on padding)
     have_prev: jax.Array  # (B,) bool
+    duals: dict           # {start,end,junc,corr,box} multiplier warm start
 
 
 class DriverState(NamedTuple):
@@ -94,11 +102,63 @@ class TickResult(NamedTuple):
     tracking: bool = False   # fallback tick: tracked the previous plan
 
 
+def zero_duals(batch: int, qcfg) -> dict:
+    """All-zero multiplier tree (cold start)."""
+    S, R, F, o = qcfg.max_seg, qcfg.res, qcfg.max_faces, qcfg.order
+    z = lambda *sh: jnp.zeros((batch,) + sh, jnp.float32)
+    return {'start': z(3, 3), 'end': z(3, 3), 'junc': z(S - 1, 3, o),
+            'corr': z(S, R, F), 'box': z(S, R, 3, 4)}
+
+
+def _sol_duals(sol) -> dict:
+    """Full multiplier tree from a QPSolution (eq from nu, ineq from lam)."""
+    nu = sol.nu
+    B = nu.shape[0]
+    # nu layout follows tree_flat over EQ_KEYS: start(3,3) end(3,3)
+    # junc(S-1,3,o)
+    start = nu[:, :9].reshape(B, 3, 3)
+    end = nu[:, 9:18].reshape(B, 3, 3)
+    junc_flat = nu[:, 18:]
+    lam = sol.lam
+    S = lam['corr'].shape[1]
+    o = junc_flat.shape[1] // (3 * (S - 1))
+    return {'start': start, 'end': end,
+            'junc': junc_flat.reshape(B, S - 1, 3, o),
+            'corr': lam['corr'], 'box': lam['box']}
+
+
+def _roll_duals(duals: dict, src: jax.Array, seg_new: jax.Array,
+                zero_first: bool = False) -> dict:
+    """Shift the multiplier tree `roll` segments forward (src = gather
+    indices as used for hpolys/coeffs).  start/end duals are kept as-is —
+    the pinned start changes anyway and they only seed the warm start.
+    zero_first additionally clears slot 0 (splice: a frozen piece has no
+    live multipliers)."""
+    B, S = src.shape
+    seg_axis = lambda a, ix, nd: jnp.take_along_axis(
+        a, ix.reshape((B, -1) + (1,) * nd), axis=1)
+    mask = (jnp.arange(S)[None, :] < seg_new[:, None]).astype(
+        duals['corr'].dtype)
+    corr = seg_axis(duals['corr'], src, 2) * mask[:, :, None, None]
+    box = seg_axis(duals['box'], src, 3) * mask[:, :, None, None, None]
+    src_j = jnp.clip(src[:, :S - 1], 0, S - 2)
+    mask_j = (jnp.arange(S - 1)[None, :]
+              < (seg_new - 1)[:, None]).astype(mask.dtype)
+    junc = seg_axis(duals['junc'], src_j, 2) * mask_j[:, :, None, None]
+    if zero_first:
+        corr = corr.at[:, 0].set(0.0)
+        box = box.at[:, 0].set(0.0)
+        junc = junc.at[:, 0].set(0.0)
+    return {'start': duals['start'], 'end': duals['end'], 'junc': junc,
+            'corr': corr, 'box': box}
+
+
 def init_plan(batch: int, cfg: AllocNetConfig) -> PlanState:
     S, D = cfg.qp.max_seg, cfg.qp.D
     return PlanState(coeffs=jnp.zeros((batch, S, 3, D), jnp.float32),
                      times=jnp.zeros((batch, S), jnp.float32),
-                     have_prev=jnp.zeros((batch,), bool))
+                     have_prev=jnp.zeros((batch,), bool),
+                     duals=zero_duals(batch, cfg.qp))
 
 
 # ---------------------------------------------------------------------------
@@ -174,9 +234,10 @@ class _Advance(NamedTuple):
 
 def _advance(cfg: AllocNetConfig, dt: float, plan_c: jax.Array,
              times_q: jax.Array, state9: jax.Array, hpolys: jax.Array,
-             seg: jax.Array) -> _Advance:
+             seg: jax.Array, duals: dict) -> _Advance:
     """Advance the vehicle dt along (plan_c, times_q) and roll the corridor,
-    times, and coefficients so the remainder starts at the new state."""
+    times, coefficients, and multiplier warm start so the remainder starts
+    at the new state."""
     qcfg = cfg.qp
     S = qcfg.max_seg
     dtype = plan_c.dtype
@@ -234,18 +295,27 @@ def _advance(cfg: AllocNetConfig, dt: float, plan_c: jax.Array,
     state9_new = state9.at[:, 0].set(start)
 
     prev = PlanState(coeffs=coeffs_new, times=times_new,
-                     have_prev=jnp.ones((B,), bool))
+                     have_prev=jnp.ones((B,), bool),
+                     duals=_roll_duals(duals, src, seg_new))
     return _Advance(state9=state9_new, hpolys=hp_new, seg=seg_new,
                     prev=prev, done=done)
 
 
 # a first segment shorter than this fraction of its successor is a SLIVER:
-# the snap weight ratio (t1/t2)^-(2o-1) exceeds ~5e3 and float32 ADMM stops
-# converging (measured: ratio 0.2 fails, 0.25 passes on the demo missions)
-SLIVER_RATIO = 0.3
+# the tick freezes piece 1 and re-solves only the suffix (see _warm_tick).
+# Below ~0.2 the T^-(2o-1) snap weight ratio makes f32 ADMM stop converging
+# outright; between ~0.3 and ~0.6 the whole-corridor re-solve is still
+# *degenerate* at the deploy operating point (res=20, v<=4/a<=6): as the
+# vehicle crosses a polytope at speed, the shrinking first-segment time
+# drives obj ~ t1^-(2o-1) toward the feasibility boundary and even the f64
+# KKT oracle fails on the captured ticks (kkt ~1e-2,
+# scripts/debug_deploy_ticks.py).  The suffix sub-problem stays
+# well-conditioned, so route those ticks to the splice path too.
+SLIVER_RATIO = 0.6
 
 
 def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
+               strong: bool,
                state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
                prev: PlanState):
     """One warm tick: re-solve from the pinned state with the shifted
@@ -302,10 +372,38 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
     times_s = sel(times_b, times_q)
     seg_s = jnp.where(sliver, seg_b, seg)
     warm_c = sel(coeffs_b, prev.coeffs)
+    # dual warm start, rolled by one for the sliver sub-problem
+    duals_b = _roll_duals(prev.duals, src, seg_b)
+    y0 = jax.tree.map(lambda b, a: sel(b, a), duals_b, prev.duals)
 
     data = qp.build_qp(qcfg, state9_s, hp_s, times_s, seg_s)
     x0 = qp.scale_coeffs(data, warm_c)
-    sol = admm.solve_qp(data, replan.warm_solver_config(cfg.solver), x0=x0)
+    if strong:
+        # in-tick RESCUE (run by the host only when the fast warm solve
+        # missed): certification-scale budget over a 2B batch of the SAME
+        # scenarios — warm-started AND from scratch — in one solve.  A
+        # carried (x, y) pair from a nearby problem occasionally traps the
+        # iteration at a stale active set that a scratch solve escapes
+        # (measured: scratch found obj 66 where the warm-started rescue
+        # stalled at 78); batching both costs one tiny extra lane, not a
+        # second dispatch.  Winner: any solved, lower objective on ties.
+        scfg_t = replan.cold_solver_config(cfg.solver)
+        dup = lambda a: jnp.concatenate([a, a], axis=0)
+        data2 = jax.tree.map(dup, data)
+        x02 = jnp.concatenate([x0, jnp.zeros_like(x0)], axis=0)
+        y02 = jax.tree.map(
+            lambda a: jnp.concatenate([a, jnp.zeros_like(a)], axis=0), y0)
+        sol2 = admm.solve_qp(data2, scfg_t, x0=x02, y0=y02)
+        fst = jax.tree.map(lambda a: a[:B], sol2)
+        snd = jax.tree.map(lambda a: a[B:], sol2)
+        take2 = snd.solved & (~fst.solved | (snd.obj < fst.obj))
+        sol = jax.tree.map(
+            lambda a, b: jnp.where(
+                take2.reshape((-1,) + (1,) * (a.ndim - 1)), b, a), fst, snd)
+    else:
+        scfg_t = replan.warm_solver_config(cfg.solver)
+        sol = admm.solve_qp(data, scfg_t, x0=x0, y0=y0)
+    sol_d = _sol_duals(sol)
 
     # splice sliver solutions back: slot 0 = frozen previous piece, slots
     # 1.. = the sub-problem's pieces
@@ -314,10 +412,16 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
     unrolled = jnp.take_along_axis(sol.coeffs, dst[:, :, None, None], axis=1)
     unrolled = unrolled.at[:, 0].set(prev.coeffs[:, 0])
     sol_c = sel(unrolled, sol.coeffs)
+    sol_d_unrolled = _roll_duals(sol_d, dst, seg, zero_first=True)
+    sol_d = jax.tree.map(lambda b, a: sel(b, a), sol_d_unrolled, sol_d)
 
     use = sol.solved.reshape(-1, 1, 1, 1)
     plan_c = jnp.where(use, sol_c, prev.coeffs)
-    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg)
+    plan_d = jax.tree.map(
+        lambda new, old: jnp.where(
+            sol.solved.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+        sol_d, prev.duals)
+    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg, plan_d)
     return sol.solved, plan_c, times_q * mask, adv
 
 
@@ -336,6 +440,22 @@ def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
     B = times.shape[0]
     H = len(HEDGE_SCALES)
     mask = (jnp.arange(S)[None, :] < seg[:, None]).astype(dtype)
+    # stop-token truncation fallback: the LSTM head occasionally emits a
+    # ZERO time for an active segment (its stop token fired a step early
+    # vs the corridor's segment count).  The reference fails the whole
+    # plan there (learning_planner.hpp:181-189, any active time < 1e-10);
+    # flooring at T_MIN instead produces a 0.05 s terminal sliver whose
+    # T^-(2o-1) snap weight makes the QP numerically infeasible (measured
+    # obj ~1e10; 4 of 50 deploy-eval missions never launched).  Replace
+    # truncated slots with the MEAN of the nonzero active predictions —
+    # scale-consistent with the net's own allocation — and let the
+    # feasibility hedge stretch from there.
+    active = mask > 0
+    truncated = active & (times <= 1e-6)
+    nz = active & ~truncated
+    nz_mean = (jnp.sum(jnp.where(nz, times, 0.0), axis=1)
+               / jnp.maximum(jnp.sum(nz, axis=1), 1.0))
+    times = jnp.where(truncated, nz_mean[:, None], times)
 
     scales = jnp.asarray(HEDGE_SCALES, dtype)
     times_h = (times[None] * scales[:, None, None]).reshape(H * B, S)
@@ -345,8 +465,13 @@ def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
     hp_h = jnp.tile(hpolys, (H, 1, 1, 1))
     seg_h = jnp.tile(seg, H)
 
+    # cold plans get the CERTIFICATION-scale iteration budget: measured on
+    # real res=20 clutter-map corridors the deploy budget (3x150) stalls at
+    # dua ~1e-1 on a substantial fraction of fresh problems while 4x250
+    # converges them; a cold tick runs once per goal so the extra chip time
+    # (~2x of a tiny B=3H solve) is irrelevant against the 100 ms budget.
     data = qp.build_qp(qcfg, state_h, hp_h, times_qh, seg_h)
-    sol = admm.solve_qp(data, cfg.solver)
+    sol = admm.solve_qp(data, replan.cold_solver_config(cfg.solver))
 
     solved_h = sol.solved.reshape(H, B)
     first = jnp.argmax(solved_h, axis=0)              # first feasible stretch
@@ -356,8 +481,11 @@ def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
         first.reshape((1, B) + (1,) * len(shape)), axis=0)[0]
     plan_c = pick(sol.coeffs, (S, 3, qcfg.D))
     times_q = pick(times_qh, (S,))
+    sol_d = _sol_duals(sol)
+    plan_d = jax.tree.map(
+        lambda a: pick(a, a.shape[1:]), sol_d)
 
-    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg)
+    adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg, plan_d)
     # an unsolved cold tick produces no plan: the advance is discarded by
     # the caller (vehicle waits for the next tick / goal, reference
     # learning_planner.hpp:181-189 semantics)
@@ -365,9 +493,9 @@ def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
 
 
 def make_warm_tick(cfg: AllocNetConfig, rate_hz: float = 10.0,
-                   refine_steps: int = 0):
+                   refine_steps: int = 0, strong: bool = False):
     return jax.jit(functools.partial(_warm_tick, cfg, 1.0 / rate_hz,
-                                     refine_steps))
+                                     refine_steps, strong))
 
 
 def make_cold_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
@@ -391,6 +519,10 @@ class Driver:
         self.telemetry_hz = telemetry_hz
         self._cold = make_cold_tick(net, cfg, params, rate_hz, time_scale)
         self._warm = make_warm_tick(cfg, rate_hz, refine_steps)
+        # in-tick rescue: certification-budget warm-started re-solve, run
+        # only when the fast warm solve misses (the 100 ms tick budget has
+        # room for a second small-batch solve; solving beats tracking)
+        self._rescue = make_warm_tick(cfg, rate_hz, refine_steps, strong=True)
 
     def prewarm(self, goal_dist: float = 5.0):
         """Compile both tick programs up front (the p99 killer: without this
@@ -410,6 +542,7 @@ class Driver:
         solved, plan_c, times, adv = self._cold(
             jnp.asarray(st), jnp.asarray(hp), seg)
         _ = self._warm(adv.state9, adv.hpolys, adv.seg, adv.prev)
+        _ = self._rescue(adv.state9, adv.hpolys, adv.seg, adv.prev)
         jax.block_until_ready(_[0])
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
@@ -448,11 +581,18 @@ class Driver:
         if have:
             solved, plan_c, times, adv = self._warm(
                 jnp.asarray(state9), hp_dev, seg_dev, st.prev)
+            ok = bool(np.asarray(solved)[0])
+            if not ok:
+                # in-tick rescue at the certification budget (same warm
+                # start); solving beats tracking and the budget has room
+                solved, plan_c, times, adv = self._rescue(
+                    jnp.asarray(state9), hp_dev, seg_dev, st.prev)
+                ok = bool(np.asarray(solved)[0])
         else:
             solved, plan_c, times, adv = self._cold(
                 jnp.asarray(state9), hp_dev, seg_dev)
+            ok = bool(np.asarray(solved)[0])
         adv_np = np.asarray(adv.state9)     # forces the device round trip
-        ok = bool(np.asarray(solved)[0])
         lat = time.perf_counter() - t0
 
         tracking = (not ok) and have
@@ -481,18 +621,31 @@ class Driver:
 
     def run(self, st: DriverState, n_ticks: int, realtime: bool = False,
             goal_changes: dict | None = None, telemetry: bool = False,
-            stop_when_done: bool = False):
+            stop_when_done: bool = False, stall_limit: int = 10):
         """Run n_ticks; goal_changes maps tick index -> (goal, hpolys, seg).
-        Returns (final state, list of TickResult)."""
+        Returns (final state, list of TickResult).
+
+        stall_limit: consecutive PLANLESS ticks (cold solve failed, nothing
+        to track) before giving up.  A failing cold tick is deterministic —
+        the state does not change, so re-running it every period can never
+        recover; the caller should re-plan the corridor (fresh front-end
+        seed -> different geometry) or surface the failure, exactly like
+        the reference's plan() returning false to the goal callback
+        (learning_planner.hpp:181-189).  0 disables."""
         results = []
         period = 1.0 / self.rate_hz
+        stalled = 0
         for k in range(n_ticks):
             if goal_changes and k in goal_changes:
                 st = self.set_goal(st, *goal_changes[k])
             r = self.tick(st, telemetry=telemetry)
+            planless = (not r.solved) and (not r.tracking)
+            stalled = stalled + 1 if planless else 0
             st = r.state
             results.append(r)
             if stop_when_done and st.done:
+                break
+            if stall_limit and stalled >= stall_limit:
                 break
             if realtime and r.latency_s < period:
                 time.sleep(period - r.latency_s)
@@ -511,7 +664,7 @@ def onchip_tick_cost(net, params, cfg: AllocNetConfig, state9, hpolys, seg,
 
     def body(carry, _):
         state9, hp, seg, prev, done = carry
-        solved, _, _, adv = _warm_tick(cfg, dt, refine_steps,
+        solved, _, _, adv = _warm_tick(cfg, dt, refine_steps, False,
                                        state9, hp, seg, prev)
         # after arrival the tick is a no-op (hold the done state)
         pickt = lambda new, old: jax.tree.map(

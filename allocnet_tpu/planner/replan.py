@@ -41,7 +41,7 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
     return dataclasses.replace(
         scfg, n_chunks=1,
         iters_per_chunk=max(60, scfg.iters_per_chunk // 2),
-        polish_rounds=max(2, scfg.polish_rounds),
+        polish_rounds=max(4, scfg.polish_rounds),
         # warm ticks hit the degenerate-corridor geometry the drop/enter
         # passes exist for, and the tick is RTT-dominated -- the extra KKT
         # factorization is free latency-wise (see SolverConfig)
@@ -50,6 +50,31 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
         # exceed the reference's plan-time sanity ceiling (obj ~ T^-(2o-1));
         # residual gates still reject divergence (see SolverConfig.obj_max)
         obj_max=float("inf"))
+
+
+def cold_solver_config(scfg: SolverConfig) -> SolverConfig:
+    """Certification-scale budget for COLD plans (fresh goal, no warm
+    start).  Measured on real res=20 clutter-map corridors: the deploy
+    budget (3x150 iterations) dual-stalls at ~1e-1 on a substantial
+    fraction of fresh problems while 4x250 converges them cleanly
+    (scripts/debug_deploy_ticks.py post-mortems).  Cold plans run once
+    per goal — the reference pays a full OSQP cold solve there too
+    (learning_planning.cpp:143-188).
+
+    ns_rho_update stays OFF here: on the hardest fresh corridors the
+    Newton-Schulz chunk-boundary inverse dual-stalls at ~4e-2 where the
+    exact re-factorization converges at the same budget (measured, seg=2
+    16 m corridor at res=20); a per-chunk Cholesky at cold-tick batch
+    sizes (a few scenarios) costs nothing.
+
+    The polish schedule matches CERTIFY_SOLVER: the drop/enter active-set
+    iteration is what actually closes the hardest corridors (it reaches
+    the exact active set in ~5 rounds even from a coarse ADMM iterate),
+    and per-round cost at cold-tick batch sizes is one tiny KKT factor."""
+    return dataclasses.replace(
+        scfg, n_chunks=4, iters_per_chunk=250, ns_rho_update=False,
+        polish_rounds=max(6, scfg.polish_rounds),
+        polish_drop_passes=max(1, scfg.polish_drop_passes))
 
 
 def init_state(batch: int, cfg: AllocNetConfig) -> ReplanState:

@@ -78,14 +78,15 @@ def main():
         prev = driver_lib.PlanState(
             coeffs=jnp.asarray(snap["prev_coeffs"]),
             times=jnp.asarray(snap["prev_times"]),
-            have_prev=jnp.ones((1,), bool))
+            have_prev=jnp.ones((1,), bool),
+            duals=driver_lib.zero_duals(1, cfg.qp))
         mask = (np.arange(S) < snap["seg"]).astype(np.float32)
         tq = np.where(mask > 0, np.maximum(snap["prev_times"][0], 0.05), 1.0)
         sliver = snap["seg"] > 1 and tq[0] < driver_lib.SLIVER_RATIO * tq[1]
         # the exact solve the tick ran (post-sliver-splice inputs come from
         # _warm_tick itself; re-run it for solved, then the raw QP for
         # residual detail)
-        solved, _, _, _ = driver_lib._warm_tick(cfg, 1.0 / 10.0, 0,
+        solved, _, _, _ = driver_lib._warm_tick(cfg, 1.0 / 10.0, 0, False,
                                                 state9, hp, seg, prev)
         data = qp.build_qp(cfg.qp, state9, hp, jnp.asarray(tq)[None], seg)
         x0 = qp.scale_coeffs(data, prev.coeffs)

@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if os.environ.get("DRIVE_EVAL_CPU"):      # solver-behavior runs off-chip
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from allocnet_tpu.config import AllocNetConfig
@@ -93,10 +97,33 @@ def main():
         plans = sample_missions(pmap, cfg, rng, per_map, lo, hi)
         for start, cp in plans:
             st = drv.reset(start, cp.route[-1], cp.hpolys, cp.seg)
-            st, res = drv.run(st, max_ticks, stop_when_done=True)
+            st, res = drv.run(st, max_ticks, stop_when_done=True,
+                              stall_limit=5)
+            # cold-plan stall: the QP rejects this corridor's geometry at
+            # every hedge (deterministic, so waiting can never help).  The
+            # operator action is to RE-PLAN THE ROUTE: a fresh front-end
+            # seed gives different corridor geometry and a different QP.
+            flown, attempts = 0, 0
+            while (not st.done and len(res) < max_ticks and flown < 4
+                   and attempts < 12
+                   and not np.any([r.solved for r in res[-3:]])):
+                attempts += 1
+                cp2 = planner_lib.plan_corridor(
+                    pmap, st.pos, cp.route[-1], cfg,
+                    seed=int(rng.integers(1 << 30)))
+                if not cp2.ok:
+                    continue
+                flown += 1
+                st = drv.set_goal(st, cp2.route[-1], cp2.hpolys, cp2.seg)
+                st, res2 = drv.run(st, max_ticks - len(res),
+                                   stop_when_done=True, stall_limit=5)
+                res = list(res) + list(res2)
             dist = float(np.linalg.norm(st.pos - st.goal))
             solved = np.array([r.solved for r in res])
             tracking = np.array([r.tracking for r in res])
+            # planless = failed cold tick (no plan exists, vehicle holds);
+            # flight ticks = everything else (a plan was being flown)
+            planless = ~solved & ~tracking
             lats = [r.latency_s for r in res]
             lats_all += lats
             missions.append({
@@ -109,6 +136,9 @@ def main():
                 "final_dist_m": round(dist, 4),
                 "solve_rate": round(float(solved.mean()), 4),
                 "tracking_rate": round(float(tracking.mean()), 4),
+                "n_flight_ticks": int((~planless).sum()),
+                "n_flight_solved": int(solved.sum()),
+                "corridor_replans": flown,
             })
             m = missions[-1]
             print(f"map {map_seed} mission {len(missions)}: "
@@ -120,6 +150,8 @@ def main():
     arr = np.array([m["arrived"] for m in missions])
     n_ticks = np.array([m["n_ticks"] for m in missions])
     solve_ticks = np.array([m["solve_rate"] * m["n_ticks"] for m in missions])
+    n_flight = np.array([m["n_flight_ticks"] for m in missions])
+    n_fsolved = np.array([m["n_flight_solved"] for m in missions])
     out = {
         "operating_point": {"res": cfg.qp.res, "max_vel": cfg.qp.max_vel,
                             "max_acc": cfg.qp.max_acc,
@@ -128,6 +160,13 @@ def main():
         "n_missions": len(missions),
         "arrival_rate": round(float(arr.mean()), 4),
         "tick_solve_rate": round(float(solve_ticks.sum() / n_ticks.sum()), 4),
+        # over ticks where a plan was being flown (excludes the bounded
+        # planless stalls that precede a corridor re-plan; those are the
+        # net/geometry's plan rejections, surfaced via corridor_replans)
+        "flight_tick_solve_rate": round(
+            float(n_fsolved.sum() / max(n_flight.sum(), 1)), 4),
+        "total_corridor_replans": int(sum(m["corridor_replans"]
+                                          for m in missions)),
         "wall_p50_ms": round(float(np.percentile(lats, 50) * 1e3), 2),
         "wall_p99_ms": round(float(np.percentile(lats, 99) * 1e3), 2),
         "prewarm_compile_s": round(prewarm_s, 2),
