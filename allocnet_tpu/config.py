@@ -171,6 +171,16 @@ class SolverConfig:
     # utilization in the shared sampling matmuls against VMEM pressure from
     # the (tile, NQ, NQ) fused inverse.
     pallas_tile: int = 16
+    # per-scenario rho initialization from the problem's own objective/
+    # constraint trace balance (admm.admm_solve): rho0 = rho * s / s_ref,
+    # clipped to [0.25, 4] x rho.  s_ref is calibrated to the MEDIAN s of
+    # random deploy-shape corridor batches (seed sweeps land at ~0.030 for
+    # res=20, and the res=10 training shapes sit within a few percent), so
+    # a typical scenario keeps the tuned default and only the scale
+    # outliers move.  Closed the round-3 deploy-budget tail: the 6-7/1024
+    # scenarios stalling at dua ~1e-1 all sat in the bottom decile of s.
+    rho_scale_init: bool = True
+    rho_scale_ref: float = 0.03
     # tolerance used for reporting/acceptance
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4

@@ -169,6 +169,46 @@ def ns_update_inverse(Minv: jax.Array, P: jax.Array, f: jax.Array,
     return Minv2, P2
 
 
+def initial_rho(data: QPData, scfg: SolverConfig, dtype
+                ) -> tuple[jax.Array, jax.Array]:
+    """Per-scenario (rho_i0, adaptation floor).
+
+    When rho_scale_init is on, rho is INITIALIZED from the problem's own
+    scale balance: s = sqrt(tr(N) / tr(AtWA at rho=1)) with N the x-update's
+    rho-independent quadratic (objective + sigma + padded-slot identities)
+    and AtWA the rho-weighted constraint part.  The global rho default was
+    tuned for the batch MEDIAN (s ~ rho_scale_ref); long-time corridors sit
+    2-3x below it (their snap weights T^-(2o-1) shrink the objective
+    relative to the O(1) constraint rows) and stall ADMM's dual residual at
+    a fixed rho — the entire round-3 deploy-budget tail was this class.
+    Scaling rho0 by s/s_ref converges them within the same iteration budget
+    at zero extra per-iteration cost (OSQP reaches the same effect through
+    Ruiz equilibration of the full constraint matrix, which a matrix-free
+    sampled-row formulation cannot do directly).
+
+    The chunk-boundary adaptation floor follows each scenario's OWN scale
+    (0.25x its initialization, like the old 0.25x global default): with a
+    global floor the low-s tail bottomed out at 0.25*rho with the residual-
+    balance rescale still pointing further down — the clip, not the
+    adaptation, was the binding constraint."""
+    B = data.times.shape[0]
+    if not scfg.rho_scale_init:
+        rho_i = jnp.full((B,), scfg.rho, dtype)
+        return rho_i, 0.25 * rho_i
+    sigma = jnp.asarray(scfg.sigma, dtype)
+    N_stat = qp.normal_matrix(data, sigma, jnp.zeros((), dtype),
+                              jnp.zeros((), dtype))
+    M_unit = qp.normal_matrix(data, sigma,
+                              jnp.asarray(scfg.rho_eq_scale, dtype),
+                              jnp.asarray(1.0, dtype))
+    tr = lambda m: jnp.trace(m, axis1=-2, axis2=-1)
+    s_stat = jnp.sqrt(tr(N_stat) / jnp.maximum(tr(M_unit) - tr(N_stat),
+                                               1e-12))
+    rho_i = jnp.clip(scfg.rho * s_stat / scfg.rho_scale_ref,
+                     0.25 * scfg.rho, 4.0 * scfg.rho).astype(dtype)
+    return rho_i, 0.25 * rho_i
+
+
 def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None,
                y0: dict | None = None):
     """Core ADMM loop. Returns (x, z, y, rho_e, rho_i, pri, dua).
@@ -191,10 +231,10 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None,
     z = _project(qp.apply_A(data, x), beq, h)
     y = tmap(jnp.zeros_like, z) if y0 is None else y0
 
-    rho_i = jnp.full((B,), scfg.rho, dtype)
-    rho_e = rho_i * scfg.rho_eq_scale
     sigma = jnp.asarray(scfg.sigma, dtype)
     alpha = jnp.asarray(scfg.alpha, dtype)
+    rho_i, rho_floor = initial_rho(data, scfg, dtype)
+    rho_e = rho_i * scfg.rho_eq_scale
 
     def one_iter(carry, _, M, Minv, rho_e_cur, rho_i_cur):
         x, z, y = carry
@@ -257,7 +297,7 @@ def admm_solve(data: QPData, scfg: SolverConfig, x0: jax.Array | None = None,
         factor = jnp.clip(ratio, 0.5, 5.0)
         # upper clip keeps rho_eq = rho * rho_eq_scale inside float32's
         # comfortable conditioning range
-        rho_i_new = jnp.clip(rho_i_cur * factor, 0.25 * scfg.rho, 100.0)
+        rho_i_new = jnp.clip(rho_i_cur * factor, rho_floor, 100.0)
         rho_e_new = rho_i_new * scfg.rho_eq_scale
         # effective rescale factor (post-clip) for the next chunk's inverse
         # update; stays in [0.5, 5] because the clip only pulls it toward 1

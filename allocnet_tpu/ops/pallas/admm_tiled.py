@@ -417,7 +417,7 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
     z = admm_mod._project(qp.apply_A(data, x), beq_tree, hh)
     y = jax.tree.map(jnp.zeros_like, z) if y0 is None else y0
 
-    rho_i = jnp.full((B,), scfg.rho, jnp.float32)
+    rho_i, rho_floor = admm_mod.initial_rho(data, scfg, jnp.float32)
     rho_e = rho_i * scfg.rho_eq_scale
     sigma = float(scfg.sigma)
     alpha = float(scfg.alpha)
@@ -484,7 +484,7 @@ def _admm_solve_tiled_impl(data: qp.QPData, scfg: SolverConfig, x0=None,
                          / jnp.maximum(dua / jnp.maximum(dua_rel, 1e-12),
                                        1e-12)).astype(jnp.float32)
         factor = jnp.clip(ratio, 0.5, 5.0)
-        rho_i_new = jnp.clip(rho_i * factor, 0.25 * scfg.rho, 100.0)
+        rho_i_new = jnp.clip(rho_i * factor, rho_floor, 100.0)
         # rescale the packed scaled duals to the new rho before re-entering
         yhp = yhp * (rho_i / rho_i_new)[:, None, None]
         yehp = yehp * (rho_i / rho_i_new)[:, None, None]

@@ -262,6 +262,56 @@ def certify_box(traj: Trajectory, max_vel: float, max_acc: float,
     return (vel_ub <= max_vel) & (acc_ub <= max_acc)
 
 
+def certified_max_rates_host(coeffs: np.ndarray, times: np.ndarray,
+                             seg: np.ndarray, levels: int = 4
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Float64 NumPy mirror of `certified_max_rates` (upper bounds only).
+
+    Processes pinned to an f32 accelerator backend (JAX_PLATFORMS=axon has
+    no x64) still need hard certificates for committed eval numbers; this
+    runs the identical Bernstein/de-Casteljau sandwich on host in float64,
+    reusing the same constant-matrix builders.  Returns (vel_ub, acc_ub)
+    per trajectory; agreement with the x64 JAX path is tested to 1e-9
+    (tests/test_certify.py)."""
+    coeffs = np.asarray(coeffs, np.float64)
+    times = np.asarray(times, np.float64)
+    B, S, _, D = coeffs.shape
+    mask = (np.arange(S)[None, :] < np.asarray(seg)[:, None])
+    c_deg = coeffs[..., ::-1]                          # ascending degree
+    tsafe = np.where(mask, np.maximum(times, 1e-9), 1.0)
+
+    def ub(r: int) -> np.ndarray:
+        K = D - r
+        fall = np.array([bases.falling_factorial(k + r, r)
+                         for k in range(K)], np.float64)
+        tp = tsafe[:, :, None] ** np.arange(K)[None, None]
+        e = c_deg[..., r:] * fall * tp[:, :, None, :]  # (B,S,3,K)
+        A = _mono_to_bernstein(K - 1)
+        b1 = np.einsum('jk,bsxk->bsxj', A, e)
+        P = _bernstein_product(K - 1)
+        b = np.einsum('mij,bsxi,bsxj->bsm', P, b1, b1)[:, :, None, :]
+        n = b.shape[-1] - 1
+        L, R = _subdivision_matrices(n)
+        for _ in range(levels):
+            b = np.concatenate([np.einsum('jk,bsik->bsij', L, b),
+                                np.einsum('jk,bsik->bsij', R, b)], axis=2)
+        hi = np.max(np.where(mask[:, :, None, None], b, -np.inf),
+                    axis=(1, 2, 3))
+        return np.sqrt(np.maximum(hi, 0.0))
+
+    return ub(1), ub(2)
+
+
+def certify_box_host(coeffs: np.ndarray, times: np.ndarray, seg: np.ndarray,
+                     max_vel: float, max_acc: float,
+                     levels: int = 4) -> np.ndarray:
+    """Host-f64 `certify_box`: (B,) bool, True = proof of box feasibility
+    for all t (reference semantics: trajectory.hpp:177-315 root-isolation
+    checks, here via Bernstein bounds)."""
+    vel_ub, acc_ub = certified_max_rates_host(coeffs, times, seg, levels)
+    return (vel_ub <= max_vel) & (acc_ub <= max_acc)
+
+
 def taylor_shift(coeffs: jax.Array, u: jax.Array) -> jax.Array:
     """Re-root polynomials at t = u: returns q with q(s) = p(u + s).
 

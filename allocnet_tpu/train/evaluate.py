@@ -18,6 +18,7 @@ import numpy as np
 from allocnet_tpu.config import AllocNetConfig
 from allocnet_tpu.models import packing
 from allocnet_tpu.ops import admm, qp
+from allocnet_tpu.planner import trajectory as traj_lib
 from allocnet_tpu.train import losses as losses_lib
 from allocnet_tpu.utils.scenarios import ScenarioBatch
 
@@ -29,10 +30,19 @@ class EvalReport(NamedTuple):
     time_segment_accuracy: float        # stop loss < 1.0 (reference metric)
     mean_obj: float                     # mean QP objective over solved
     mean_time_ratio: float              # predicted total time / reference
+    # fraction of ALL scenarios whose solution carries a host-f64 Bernstein
+    # proof of |v|<=vmax, |a|<=amax for every t — the sampled-constraint QP
+    # only enforces the box at res grid points (qp_solver.hpp:255-296); this
+    # closes the inter-sample gap in the headline number (VERDICT r3 #6)
+    certified_frac: float = float("nan")
+    certified_of_solved: float = float("nan")
 
 
 def evaluate(net, params, cfg: AllocNetConfig, sc: ScenarioBatch,
-             batch_size: int = 256) -> EvalReport:
+             batch_size: int = 256, certify: bool = False,
+             extras: bool = False):
+    """Run net+QP over a scenario set; returns EvalReport, or
+    (EvalReport, extras dict of per-scenario arrays) when extras=True."""
     S = cfg.qp.max_seg
     n = sc.state.shape[0]
 
@@ -54,17 +64,23 @@ def evaluate(net, params, cfg: AllocNetConfig, sc: ScenarioBatch,
             pred_seg = seg
         t_pred = jnp.sum(times * seg_mask, axis=1)
         t_ref = jnp.sum(ref_times * seg_mask, axis=1)
-        return (sol.solved, sol.obj, stop_loss, pred_seg, t_pred, t_ref)
+        return (sol.solved, sol.obj, stop_loss, pred_seg, t_pred, t_ref,
+                sol.coeffs, times_q * seg_mask)
 
+    want_traj = certify or extras
     solved, objs, stops, pseg, tp, tr = [], [], [], [], [], []
+    cof, tq = [], []
     for k in range(0, n, batch_size):
         sl = slice(k, min(k + batch_size, n))
         out = run(jnp.asarray(sc.state[sl], jnp.float32),
                   jnp.asarray(sc.hpolys[sl], jnp.float32),
                   jnp.asarray(sc.seg[sl]),
                   jnp.asarray(sc.times[sl], jnp.float32))
-        for acc, val in zip((solved, objs, stops, pseg, tp, tr), out):
+        for acc, val in zip((solved, objs, stops, pseg, tp, tr), out[:6]):
             acc.append(np.asarray(val))
+        if want_traj:
+            cof.append(np.asarray(out[6]))
+            tq.append(np.asarray(out[7]))
     solved = np.concatenate(solved)
     objs = np.concatenate(objs)
     stops = np.concatenate(stops)
@@ -72,11 +88,28 @@ def evaluate(net, params, cfg: AllocNetConfig, sc: ScenarioBatch,
     tp = np.concatenate(tp)
     tr = np.concatenate(tr)
 
-    return EvalReport(
+    certified = None
+    if certify:
+        certified = solved & traj_lib.certify_box_host(
+            np.concatenate(cof), np.concatenate(tq), sc.seg,
+            cfg.qp.max_vel, cfg.qp.max_acc, levels=5)
+
+    rep = EvalReport(
         n=n,
         success_rate=float(solved.mean()),
         stop_token_accuracy=float((pseg == sc.seg[:len(pseg)]).mean()),
         time_segment_accuracy=float((stops < 1.0).mean()),
         mean_obj=float(objs[solved].mean()) if solved.any() else float("nan"),
         mean_time_ratio=float((tp / np.maximum(tr, 1e-6)).mean()),
+        certified_frac=(float(certified.mean()) if certify
+                        else float("nan")),
+        certified_of_solved=(float(certified[solved].mean())
+                             if certify and solved.any() else float("nan")),
     )
+    if extras:
+        ex = {"solved": solved, "obj": objs, "pred_seg": pseg,
+              "t_pred": tp, "t_ref": tr}
+        if certify:
+            ex["certified"] = certified
+        return rep, ex
+    return rep

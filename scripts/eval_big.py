@@ -106,12 +106,16 @@ def main():
     ts, epoch = trainer_lib.restore_checkpoint(path, template)
     print(f"restored {path} (epoch {epoch}, step {int(ts.step)})", flush=True)
 
-    rep = evaluate.evaluate(net, ts.params, ecfg, sc)
+    rep, ex = evaluate.evaluate(net, ts.params, ecfg, sc, certify=True,
+                                extras=True)
     out = dict(rep._asdict(), checkpoint=os.path.basename(path),
                epoch=epoch, fresh_maps=True, seed0=9000,
                token_thresh=thresh)
     with open(os.path.join(workdir, "eval_fresh.json"), "w") as f:
         json.dump(out, f, indent=1)
+    # per-scenario outcomes for paired (McNemar) model comparisons
+    np.savez(os.path.join(workdir, "eval_fresh_per_scenario.npz"),
+             solved=ex["solved"], certified=ex["certified"])
     print(json.dumps(out))
 
 

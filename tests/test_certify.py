@@ -66,3 +66,25 @@ def test_certificate_accepts_feasible():
                                 max_acc=float(np.asarray(a_s).max()) * 1.02,
                                 levels=4)
     assert bool(np.all(np.asarray(ok)))
+
+
+def test_host_f64_certificate_matches_jax_path():
+    # certified_max_rates_host is the NumPy mirror used by eval scripts in
+    # axon-pinned (f32-only) processes; under the x64 test config the JAX
+    # path runs in f64 too, so the two must agree to float tolerance
+    traj = _random_traj(B=8, S=4, seed=11)
+    vu, _, au, _ = trajectory.certified_max_rates(traj, levels=4)
+    hvu, hau = trajectory.certified_max_rates_host(
+        np.asarray(traj.coeffs), np.asarray(traj.times),
+        np.asarray(traj.seg_mask.sum(axis=1)).astype(int), levels=4)
+    np.testing.assert_allclose(hvu, np.asarray(vu), rtol=1e-9)
+    np.testing.assert_allclose(hau, np.asarray(au), rtol=1e-9)
+    # and the box decision matches on a mid-scale threshold
+    mid_v = float(np.median(hvu))
+    mid_a = float(np.median(hau))
+    ok_jax = np.asarray(trajectory.certify_box(traj, mid_v, mid_a, levels=4))
+    ok_host = trajectory.certify_box_host(
+        np.asarray(traj.coeffs), np.asarray(traj.times),
+        np.asarray(traj.seg_mask.sum(axis=1)).astype(int),
+        mid_v, mid_a, levels=4)
+    assert np.array_equal(ok_jax, ok_host)
