@@ -100,6 +100,9 @@ class TickResult(NamedTuple):
     telemetry: control.ControlSample | None
     latency_s: float
     tracking: bool = False   # fallback tick: tracked the previous plan
+    certified: bool | None = None  # f64 Bernstein box certificate of the
+    #   accepted plan (Driver(certify=True) only; computed OUTSIDE the
+    #   timed region — an offline audit of the flown plans, VERDICT r3 #6)
 
 
 def zero_duals(batch: int, qcfg) -> dict:
@@ -531,9 +534,10 @@ class Driver:
     def __init__(self, net, params, cfg: AllocNetConfig,
                  rate_hz: float = 10.0, telemetry_hz: float = 1000.0,
                  time_scale: float = 1.0, refine_steps: int = 0,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None, certify: bool = False):
         if cache_dir:
             enable_compilation_cache(cache_dir)
+        self.certify = certify
         self.net, self.params, self.cfg = net, params, cfg
         self.rate_hz = rate_hz
         self.telemetry_hz = telemetry_hz
@@ -635,9 +639,18 @@ class Driver:
             tel = control.control_horizon(
                 traj, self.cfg.phys, rate_hz=self.telemetry_hz,
                 horizon_s=1.0 / self.rate_hz)
+        cert = None
+        if self.certify and ok:
+            # audit the ACCEPTED plan with the f64 Bernstein certificate
+            # (outside the latency timer: an offline feasibility proof of
+            # what was flown, not part of the tick budget)
+            cert = bool(trajectory.certify_box_host(
+                np.asarray(plan_c, np.float64), np.asarray(times, np.float64),
+                np.asarray(seg_dev), self.cfg.qp.max_vel,
+                self.cfg.qp.max_acc)[0])
         return TickResult(times=np.asarray(times)[0], solved=ok,
                           state=new_st, telemetry=tel, latency_s=lat,
-                          tracking=tracking)
+                          tracking=tracking, certified=cert)
 
     def run(self, st: DriverState, n_ticks: int, realtime: bool = False,
             goal_changes: dict | None = None, telemetry: bool = False,

@@ -82,7 +82,8 @@ def main():
     params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(
         "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
 
-    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
+    certify = bool(os.environ.get("DRIVE_EVAL_CERTIFY"))
+    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0, certify=certify)
     t0 = time.perf_counter()
     drv.prewarm()
     prewarm_s = time.perf_counter() - t0
@@ -121,6 +122,7 @@ def main():
             dist = float(np.linalg.norm(st.pos - st.goal))
             solved = np.array([r.solved for r in res])
             tracking = np.array([r.tracking for r in res])
+            certs = [r.certified for r in res if r.certified is not None]
             # planless = failed cold tick (no plan exists, vehicle holds);
             # flight ticks = everything else (a plan was being flown)
             planless = ~solved & ~tracking
@@ -139,6 +141,10 @@ def main():
                 "n_flight_ticks": int((~planless).sum()),
                 "n_flight_solved": int(solved.sum()),
                 "corridor_replans": flown,
+                # f64 Bernstein certificate over the ACCEPTED (flown) plans
+                "certified_plans": (round(float(np.mean(certs)), 4)
+                                    if certs else None),
+                "n_certified_plans": len(certs),
             })
             m = missions[-1]
             print(f"map {map_seed} mission {len(missions)}: "
@@ -167,6 +173,11 @@ def main():
             float(n_fsolved.sum() / max(n_flight.sum(), 1)), 4),
         "total_corridor_replans": int(sum(m["corridor_replans"]
                                           for m in missions)),
+        "flown_plan_certified_rate": (round(float(
+            sum(m["certified_plans"] * m["n_certified_plans"]
+                for m in missions if m["certified_plans"] is not None)
+            / max(sum(m["n_certified_plans"] for m in missions), 1)), 4)
+            if certify else None),
         "wall_p50_ms": round(float(np.percentile(lats, 50) * 1e3), 2),
         "wall_p99_ms": round(float(np.percentile(lats, 99) * 1e3), 2),
         "prewarm_compile_s": round(prewarm_s, 2),
@@ -175,7 +186,8 @@ def main():
             [m["final_dist_m"] for m in missions], 50)), 4),
         "missions": missions,
     }
-    with open(os.path.join(OUT, "drive_eval.json"), "w") as f:
+    name = "drive_eval_certified.json" if certify else "drive_eval.json"
+    with open(os.path.join(OUT, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "missions"}))
 
