@@ -109,8 +109,13 @@ def main():
                    and attempts < 12
                    and not np.any([r.solved for r in res[-3:]])):
                 attempts += 1
+                # mid-flight replans use the ONLINE front-end budget
+                # (1k Informed-RRT* iterations ~ the reference's 0.01 s
+                # OMPL budget; offline mission setup keeps the 5k cap)
+                import dataclasses as _dc
                 cp2 = planner_lib.plan_corridor(
-                    pmap, st.pos, cp.route[-1], cfg,
+                    pmap, st.pos, cp.route[-1],
+                    _dc.replace(cfg, corridor=cfg.corridor.online()),
                     seed=int(rng.integers(1 << 30)))
                 if not cp2.ok:
                     continue

@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if os.environ.get("MCNEMAR_CPU"):   # keep the chip free for latency runs
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 from scipy import stats
 
