@@ -106,27 +106,34 @@ def latency_curve(cfg):
 
 def cold_plan(cfg, net, params):
     """Per-plan phase breakdown at the deploy point, B=1 like the
-    reference's single-goal plan() path."""
-    qcfg = cfg.qp
+    reference's single-goal plan() path (learning_planning.cpp:158-165's
+    "total time" print: path + corridor + inference + QP).
 
-    infer = jax.jit(lambda st, hp: net.apply(
-        params, packing.pack_state(st), packing.pack_hpolys(hp)))
+    The net+QP phase IS the driver's deployed cold tick
+    (driver.make_cold_tick: stop-token handling, hedged time-stretch
+    batch, cold-budget solver) — not a hand-rolled single solve; and the
+    path search uses the ONLINE front-end budget (CorridorConfig.online(),
+    1k Informed-RRT* iterations ~ the reference's 0.01 s OMPL budget)."""
+    import dataclasses as _dc
+    from allocnet_tpu.planner import driver as driver_lib
+
+    qcfg = cfg.qp
     S = qcfg.max_seg
-    solve = jax.jit(lambda st, hp, tm, sg: admm.solve_qp(
-        qp.build_qp(qcfg, st, hp, tm, sg), cfg.solver))
+    online = cfg.corridor.online()
+    cold = driver_lib.make_cold_tick(net, cfg, params, rate_hz=10.0)
 
     rows = []
     for k, (pmap, start, goal) in enumerate(
             scenario_stream([210, 211], 10)):
         pt = PhaseTimer()
         with pt.phase("path"):
-            route = planner_lib.search_route(pmap, start, goal, cfg.corridor,
+            route = planner_lib.search_route(pmap, start, goal, online,
                                              seed=1000 + k)
         if route is None:
             continue
         with pt.phase("corridor"):
             polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi,
-                                     cfg.corridor)
+                                     online)
             polys = sfc.short_cut(polys)
             if len(polys) > S:
                 continue
@@ -135,31 +142,22 @@ def cold_plan(cfg, net, params):
         state9 = np.zeros((1, 2, 3, 3), np.float32)
         state9[0, 0, :, 0] = start
         state9[0, 1, :, 0] = route[-1]
-        st_d = jnp.asarray(state9)
-        hp_d = jnp.asarray(hp, jnp.float32)[None]
-        sg_d = jnp.asarray([seg])
-        with pt.phase("inference"):
-            out = infer(st_d, hp_d)
-            times, _ = out if isinstance(out, tuple) else (out, None)
-            times = jax.block_until_ready(times)
-        mask = (np.arange(S) < seg).astype(np.float32)
-        tm_d = jnp.where(jnp.asarray(mask)[None] > 0,
-                         jnp.maximum(times, 0.05), 1.0)
-        with pt.phase("qp"):
-            sol = solve(st_d, hp_d, tm_d, sg_d)
-            solved = bool(np.asarray(sol.solved)[0])
+        with pt.phase("net_qp"):
+            solved, plan_c, times, adv = cold(
+                jnp.asarray(state9), jnp.asarray(hp, jnp.float32)[None],
+                jnp.asarray([seg]))
+            ok = bool(np.asarray(solved)[0])
         s = pt.summary()
         rows.append({ph: s[ph]["mean_ms"] for ph in
-                     ("path", "corridor", "inference", "qp")}
-                    | {"solved": solved})
-    # first row carries jit compiles for inference/qp even with jit reuse
-    # across scenarios (shape-stable): drop it from the statistics
+                     ("path", "corridor", "net_qp")} | {"solved": ok})
+    # first row carries the jit compile for the cold tick even with jit
+    # reuse across scenarios (shape-stable): drop it from the statistics
     rows_t = rows[1:]
     agg = {}
-    for ph in ("path", "corridor", "inference", "qp"):
+    for ph in ("path", "corridor", "net_qp"):
         v = np.asarray([r[ph] for r in rows_t])
         agg[ph + "_ms_p50"] = round(float(np.percentile(v, 50)), 2)
-    tot = np.asarray([r["path"] + r["corridor"] + r["inference"] + r["qp"]
+    tot = np.asarray([r["path"] + r["corridor"] + r["net_qp"]
                       for r in rows_t])
     agg["total_ms_p50"] = round(float(np.percentile(tot, 50)), 2)
     agg["total_ms_p95"] = round(float(np.percentile(tot, 95)), 2)
@@ -173,7 +171,12 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     cfg = AllocNetConfig()      # deploy point: res=20, v<=4, a<=6
 
-    curve = latency_curve(cfg)
+    path = os.path.join(OUT, "latency_curve.json")
+    if "--cold-only" in sys.argv and os.path.exists(path):
+        with open(path) as f:
+            curve = json.load(f)["curve"]    # keep the committed curve
+    else:
+        curve = latency_curve(cfg)
 
     net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.5)
     params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(

@@ -25,10 +25,10 @@ def _solve_both(cfg, scfg, sc):
     ref = admm.solve_qp(data, scfg)
 
     orig = admm.admm_solve
-    admm.admm_solve = lambda d, s, x0=None: K.admm_solve_tiled(
-        d, s, x0, interpret=True)
+    admm.admm_solve = lambda d, s, x0=None, y0=None: K.admm_solve_tiled(
+        d, s, x0, y0, interpret=True)
     try:
-        sol = admm._solve_qp_impl(data, scfg, None)
+        sol = admm._solve_qp_impl(data, scfg, None, None)
     finally:
         admm.admm_solve = orig
     return ref, sol

@@ -42,10 +42,18 @@ def test_seq10_plan_end_to_end():
     pts = _maze_map()
     # generous box limits: the imported seq10 net is out-of-distribution on
     # synthetic maps; the flow under test is corridor->net->QP->trajectory.
+    from allocnet_tpu.config import CorridorConfig
     cfg = AllocNetConfig(
         qp=QPConfig(res=10, max_seg=10, max_vel=8.0, max_acc=12.0),
         solver=SolverConfig(n_chunks=2, iters_per_chunk=150),
         model=ModelConfig(seq_len=10),
+        # plain-RRT front-end: this test pins the corridor geometry the
+        # OOD seq10 net's time predictions are known-feasible on.  The
+        # Informed-RRT* default hugs the maze walls, and plan_many
+        # mirrors the reference plan()'s fail-on-QP-reject semantics
+        # (learning_planner.hpp:181-189) — hedged time-stretch rescue is
+        # the DRIVER's job (driver._cold_tick), tested in test_driver.py.
+        corridor=CorridorConfig(use_rrt_star=False),
     )
     pmap = planner_lib.build_map(pts, [0, 0, 0], [40, 20, 4], scale=0.25,
                                  dilate_r=2)
