@@ -48,6 +48,42 @@ def load_torchscript_lstm(path: str, dtype=np.float32) -> dict:
     return {'params': params}
 
 
+def save_params_msgpack(params: dict, path: str) -> None:
+    """Write a params pytree as flax msgpack — the torch-free deployment
+    artifact (loading TorchScript costs ~12 s of `import torch` alone;
+    a cold planner process must not pay it, learning_planner.hpp:58-76)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+
+
+def load_params_msgpack(path: str) -> dict:
+    """Template-free restore of a params pytree (numpy leaves)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_params(path: str, dtype=np.float32) -> dict:
+    """Load deployment params from either artifact kind: .msgpack (fast,
+    torch-free) or TorchScript .pt.  For a .pt with a sibling .msgpack
+    cache the cache wins; otherwise the conversion writes one."""
+    if path.endswith(".msgpack"):
+        return load_params_msgpack(path)
+    cache = path + ".msgpack"
+    import os
+    if os.path.exists(cache):
+        return load_params_msgpack(cache)
+    params = load_torchscript_lstm(path, dtype)
+    try:
+        save_params_msgpack(params, cache)
+    except OSError:
+        pass                      # read-only checkpoint dir: skip the cache
+    return params
+
+
 def seq_len_of_checkpoint(path: str) -> int:
     """The seq10 variant differs only in the hpoly linear input width."""
     import torch

@@ -129,3 +129,45 @@ def test_trim_passed():
     assert seg == 1                                      # passed into poly 1
     np.testing.assert_allclose(out[0], hp[1])
     assert np.all(out[1:] == 0)
+
+
+def test_driver_aot_roundtrip(tmp_path):
+    """save_aot -> fresh Driver(aot_path=...) must load the serialized
+    executables (no tracing/compiling) and produce the SAME tick results as
+    the jit path — the deployment fast-start artifact (VERDICT r4 #1)."""
+    from allocnet_tpu.config import CorridorConfig
+    cfg = AllocNetConfig(qp=QPConfig(res=10),
+                         solver=SolverConfig(n_chunks=4, polish_rounds=6,
+                                             iters_per_chunk=250),
+                         corridor=CorridorConfig(use_rrt_star=False))
+    net = ConstTimeNet()
+    params = {"t": jnp.asarray(5.0), "S": cfg.qp.max_seg}
+
+    drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
+    path = str(tmp_path / "aot")
+    sizes = drv.save_aot(path)
+    assert set(sizes) == {"cold", "warm", "rescue"}
+
+    drv2 = driver_lib.Driver(net, params, cfg, rate_hz=10.0, aot_path=path)
+    assert drv2.aot_loaded
+    drv2.prewarm()                      # executes, never compiles
+
+    # identical mission through both drivers: bitwise-equal programs
+    pts = _pillar_map()
+    pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
+                                 dilate_r=2)
+    start = np.array([2.0, 3.0, 2.0])
+    cp = planner_lib.plan_corridor(pmap, start, np.array([18.0, 3.0, 2.0]),
+                                   cfg, seed=3)
+    assert cp.ok, cp.reason
+    st_a = drv.reset(start, cp.route[-1], cp.hpolys, cp.seg)
+    st_b = drv2.reset(start, cp.route[-1], cp.hpolys, cp.seg)
+    st_a, res_a = drv.run(st_a, 3)
+    st_b, res_b = drv2.run(st_b, 3)
+    assert [r.solved for r in res_a] == [r.solved for r in res_b]
+    np.testing.assert_allclose(st_a.pos, st_b.pos, atol=1e-6)
+
+    # a different checkpoint must REJECT the artifact (manifest digest)
+    params2 = {"t": jnp.asarray(4.0), "S": cfg.qp.max_seg}
+    drv3 = driver_lib.Driver(net, params2, cfg, rate_hz=10.0, aot_path=path)
+    assert not drv3.aot_loaded
