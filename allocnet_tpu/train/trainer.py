@@ -70,7 +70,14 @@ def restore_checkpoint(path: str, template: ts_lib.TrainState):
 
 class Trainer:
     def __init__(self, cfg: AllocNetConfig, net, loader: ds_lib.Loader,
-                 workdir: str):
+                 workdir: str, use_mesh: bool | None = None):
+        """use_mesh: shard training over all visible devices (data
+        parallelism over the scenario batch, params replicated — SURVEY
+        section 2.2).  Default: automatic, on whenever >1 device is
+        visible.  Semantics are device-count-invariant (the sharded
+        step is the SAME jitted program; tests/test_train.py proves
+        step-level equivalence, test_trainer_mesh_matches_manual_steps
+        proves it end-to-end through Trainer.train)."""
         self.cfg = cfg
         self.net = net
         self.loader = loader
@@ -78,6 +85,11 @@ class Trainer:
         self.ckpt_dir = os.path.join(workdir, "checkpoints")
         self.log_path = os.path.join(workdir, "metrics.jsonl")
         os.makedirs(workdir, exist_ok=True)
+
+        from allocnet_tpu.parallel import mesh as mesh_lib
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1
+        self.mesh = mesh_lib.make_mesh() if use_mesh else None
 
         sample = loader._gather(loader.train_idx[:2])
         self.ts = ts_lib.init_state(net, cfg.train,
@@ -87,6 +99,8 @@ class Trainer:
         ck = latest_checkpoint(self.ckpt_dir)
         if ck is not None:
             self.ts, self.start_epoch = restore_checkpoint(ck, self.ts)
+        if self.mesh is not None:
+            self.ts = mesh_lib.replicate(self.mesh, self.ts)
 
         c = cfg
         self._step = jax.jit(lambda ts, st, hp, sg, rt: ts_lib.train_step(
@@ -121,10 +135,19 @@ class Trainer:
         pending.clear()
 
     def _to_dev(self, batch: ds_lib.Batch):
-        return (jnp.asarray(batch.state, jnp.float32),
+        args = (jnp.asarray(batch.state, jnp.float32),
                 jnp.asarray(batch.hpolys, jnp.float32),
                 jnp.asarray(batch.seg),
                 jnp.asarray(batch.ref_times, jnp.float32))
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            if batch.state.shape[0] % n == 0:
+                from allocnet_tpu.parallel import mesh as mesh_lib
+                return mesh_lib.shard_batch(self.mesh, args)
+            # a trailing partial batch that does not divide the mesh runs
+            # replicated-input (XLA still partitions the compute); keeping
+            # it beats dropping samples
+        return args
 
     def train(self, max_epochs: int | None = None) -> ts_lib.TrainState:
         tcfg = self.cfg.train

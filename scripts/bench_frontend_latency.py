@@ -114,7 +114,6 @@ def cold_plan(cfg, net, params):
     batch, cold-budget solver) — not a hand-rolled single solve; and the
     path search uses the ONLINE front-end budget (CorridorConfig.online(),
     1k Informed-RRT* iterations ~ the reference's 0.01 s OMPL budget)."""
-    import dataclasses as _dc
     from allocnet_tpu.planner import driver as driver_lib
 
     qcfg = cfg.qp

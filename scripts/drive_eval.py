@@ -150,6 +150,7 @@ def main():
                 "certified_plans": (round(float(np.mean(certs)), 4)
                                     if certs else None),
                 "n_certified_plans": len(certs),
+                "n_certified_true": int(sum(certs)),
             })
             m = missions[-1]
             print(f"map {map_seed} mission {len(missions)}: "
@@ -178,10 +179,11 @@ def main():
             float(n_fsolved.sum() / max(n_flight.sum(), 1)), 4),
         "total_corridor_replans": int(sum(m["corridor_replans"]
                                           for m in missions)),
-        "flown_plan_certified_rate": (round(float(
-            sum(m["certified_plans"] * m["n_certified_plans"]
-                for m in missions if m["certified_plans"] is not None)
-            / max(sum(m["n_certified_plans"] for m in missions), 1)), 4)
+        # aggregate from RAW certified counts (ADVICE r4: reconstructing
+        # from the rounded per-mission means introduced aggregation error)
+        "flown_plan_certified_rate": (round(
+            sum(m["n_certified_true"] for m in missions)
+            / max(sum(m["n_certified_plans"] for m in missions), 1), 4)
             if certify else None),
         "wall_p50_ms": round(float(np.percentile(lats, 50) * 1e3), 2),
         "wall_p99_ms": round(float(np.percentile(lats, 99) * 1e3), 2),

@@ -35,12 +35,20 @@ def test_generate_dataset_roundtrip(tmp_path):
         start = sc.state[b, 0, :, 0]
         assert np.all(first[mask, :3] @ start <= first[mask, 3] + 1e-5)
 
-    # every certified sample must be solvable with the reference times at
-    # the certification operating point (deploy settings may still stall on
-    # the hardest geometries; those route to the fallback loss in training)
+    # every certified sample must re-solve with the reference times at the
+    # certification operating point AND the certification dtype (f32 — the
+    # production datagen/training path).  The invariant is dtype-specific:
+    # conftest enables x64, and re-solving the same batch in f64 is a
+    # DIFFERENT solver trajectory that can stall its duals on near-degenerate
+    # corridors the f32 polish certifies (root-caused r5: seed-5 sample 3
+    # reaches the same objective with dua_rel 3.4e-3 in f64 vs 4.1e-4 in
+    # f32) — asserting f64 here over-claims what the gate guarantees.
     from allocnet_tpu.config import CERTIFY_SOLVER
-    data = qp.build_qp(cfg.qp, jnp.asarray(sc.state), jnp.asarray(sc.hpolys),
-                       jnp.asarray(sc.times), jnp.asarray(sc.seg))
+    data = qp.build_qp(cfg.qp,
+                       jnp.asarray(sc.state, jnp.float32),
+                       jnp.asarray(sc.hpolys, jnp.float32),
+                       jnp.asarray(sc.times, jnp.float32),
+                       jnp.asarray(sc.seg))
     sol = admm.solve_qp(data, CERTIFY_SOLVER)
     assert int(np.asarray(sol.solved).sum()) == n
 
