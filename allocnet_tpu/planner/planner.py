@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,14 +99,78 @@ def plan_corridor(pmap: PlannerMap, start: np.ndarray, goal: np.ndarray,
     if route is None:
         return CorridorPlan(np.zeros((0, 3)), empty, 0, False, "no_path")
 
-    polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi, ccfg)
-    polys = sfc.short_cut(polys)
-    if len(polys) > cfg.qp.max_seg:
-        return CorridorPlan(route, empty, len(polys), False, "long_corridor")
-    polys = sfc.normalize_polys(polys)
-    hp, seg = sfc.to_padded(polys, cfg.qp)
-    route = _refine_goal(route, polys[-1])
+    # fully fused single-dispatch corridor (FIRI + gap test + overlap LPs
+    # + greedy shortcut + goal refinement in one XLA program) — identical
+    # results to the generic convex_cover/short_cut pipeline
+    hp, seg, polys, goal_r = sfc.corridor_online(
+        route, pmap.surf, pmap.lo, pmap.hi, ccfg, cfg.qp)
+    if seg > cfg.qp.max_seg:
+        return CorridorPlan(route, empty, seg, False, "long_corridor")
+    route = route.copy()
+    route[-1] = goal_r
     return CorridorPlan(route, hp, seg, True, "ok")
+
+
+def plan_cold_pipelined(pmap: PlannerMap, start: np.ndarray,
+                        goal: np.ndarray, cfg: AllocNetConfig, cold_tick,
+                        seed: int = 0):
+    """Speculative fully-pipelined cold plan: route search (host) ->
+    fused corridor kernel -> driver cold tick, with ZERO host syncs between
+    the two device programs — the cold tick is dispatched on the corridor
+    kernel's device outputs BEFORE the host knows whether the corridor is
+    valid, and the single final fetch returns everything (on a tunneled
+    chip every intermediate sync costs a full round trip; speculation
+    wastes one small solve only on the rare gap/long-corridor plans).
+
+    cold_tick: the driver's compiled cold program (Driver._cold — jit or
+    AOT), signature (state9 (1,2,3,3) f32, hpolys (1,S,F,4) f32, seg (1,)
+    i32) -> (solved, plan_c, times, adv).
+
+    Returns (ok, reason, route, hp (S,F,4), seg, solved, plan_c, times,
+    adv) with device leaves fetched; reference flow anchor:
+    learning_planning.cpp:158-165 (path + corridor + inference + QP =
+    one "total time")."""
+    ccfg = cfg.corridor
+    route = search_route(pmap, start, goal, ccfg, seed)
+    if route is None:
+        return (False, "no_path", None) + (None,) * 6
+
+    hp_d, mk_d, seg_d, gap_d, goal_d, state9_d = sfc.corridor_online_dispatch(
+        route, pmap.surf, pmap.lo, pmap.hi, ccfg, cfg.qp)
+    S = cfg.qp.max_seg
+    seg_c = jnp.minimum(seg_d, S).astype(jnp.int32)
+    out = cold_tick(jnp.asarray(state9_d, jnp.float32),
+                    jnp.asarray(hp_d, jnp.float32)[None], seg_c[None])
+    solved, plan_c, times, adv = out
+    hp, seg, any_gap, goal_r, solved_h, plan_h, times_h = jax.device_get(
+        (hp_d, seg_d, gap_d, goal_d, solved, plan_c, times))
+
+    if bool(any_gap) or int(seg) > S:
+        # discard the speculative solve; gap plans take the generic path
+        if bool(any_gap):
+            hp2, seg2, polys, goal2 = sfc.corridor_online(
+                route, pmap.surf, pmap.lo, pmap.hi, ccfg, cfg.qp)
+            if seg2 <= S:
+                route = route.copy()
+                route[-1] = goal2
+                st9 = np.zeros((1, 2, 3, 3), np.float32)
+                st9[0, 0, :, 0] = start
+                st9[0, 1, :, 0] = goal2
+                out = cold_tick(jnp.asarray(st9),
+                                jnp.asarray(hp2, jnp.float32)[None],
+                                jnp.asarray([seg2], jnp.int32))
+                solved, plan_c, times, adv = out
+                solved_h, plan_h, times_h = jax.device_get(
+                    (solved, plan_c, times))
+                return (True, "ok", route, hp2, int(seg2),
+                        bool(solved_h[0]), plan_h, times_h, adv)
+        return (False, "long_corridor" if int(seg) > S else "gap",
+                route) + (None,) * 6
+
+    route = route.copy()
+    route[-1] = goal_r
+    return (True, "ok", route, hp, int(seg), bool(solved_h[0]),
+            plan_h, times_h, adv)
 
 
 def _refine_goal(route: np.ndarray, last_poly: np.ndarray) -> np.ndarray:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from allocnet_tpu.config import CorridorConfig, QPConfig
@@ -228,6 +229,233 @@ def short_cut(polys: list[np.ndarray]) -> list[np.ndarray]:
                 break
     # ensure termination at 0 (loop above always reaches j < i)
     return [htemp[k] for k in indices]
+
+
+# ---------------------------------------------------------------------------
+# latency-fused online corridor: ONE device dispatch for the B=1 cold path
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _corridor_online_jit(Bp: int, n_planes: int, iterations: int, eps: float,
+                         S: int):
+    """Fully fused corridor program: FIRI over all windows + row
+    normalization + gap detection + ALL pairwise overlap LPs (IPM) + the
+    greedy shortcut walk + corridor padding + goal refinement, ONE dispatch.
+
+    The split pipeline (separate firi / overlap calls with host syncs and
+    per-stage transfers in between) paid ~110 ms of the 166 ms cold plan
+    (VERDICT r4 #4) — on a tunneled chip every D2H sync costs a ~25 ms
+    round trip, so the shortcut's host greedy walk (needing the overlap
+    matrix on host) was the latency structure, not the FLOPs.  Everything
+    data-dependent here is bounded and small (chain length <= Bp), so the
+    walk runs in-kernel via gathers and the host fetches ONE result tuple:
+    (padded corridor, seg, any_gap, refined goal).  Gap windows
+    (sfc_gen.hpp:173-182) are detected in-kernel and the RARE plans that
+    have any fall back to the generic two-call pipeline."""
+    import jax
+
+    ii_np, jj_np = np.triu_indices(Bp, k=2)
+    ii, jj = jnp.asarray(ii_np), jnp.asarray(jj_np)
+
+    def fused(bds, pcs, masks, sa, sb, wmask, goal, anchor, start):
+        res = firi_lib.firi(bds, pcs, masks, sa, sb, iterations=iterations,
+                            n_planes=n_planes, eps=eps)
+        hp, mk = res.hpolys, res.mask
+        nrm = jnp.linalg.norm(hp[..., :3], axis=-1, keepdims=True)
+        hpn = jnp.where(mk[..., None] > 0, hp / jnp.maximum(nrm, 1e-12), 0.0)
+
+        # gap test for window k: seed a_k cut off by >= 3 rows of its own
+        # polytope + the previous window's (the trigger condition for the
+        # FIRST gap in convex_cover's serial walk — later gaps only exist
+        # if a first one does, so "any gap" matches exactly)
+        def viol(h, m, x):
+            v = jnp.einsum('bpj,bj->bp', h[..., :3], x) - h[..., 3]
+            return jnp.sum((v > -eps) & (m > 0), axis=1)
+
+        own = viol(hpn, mk, sa)
+        prv = viol(jnp.roll(hpn, 1, axis=0), jnp.roll(mk, 1, axis=0), sa)
+        k = jnp.arange(Bp)
+        gap = (own + prv >= 3) & (wmask > 0) & (k > 0)
+        any_gap = jnp.any(gap & (jnp.roll(wmask, 1) > 0))
+
+        ov = lp.overlap_ipm(hpn[ii], mk[ii], hpn[jj], mk[jj], eps=0.1)
+
+        # ---- in-kernel greedy shortcut (sfc_gen.hpp:188-227) ----
+        W = jnp.sum(wmask > 0).astype(jnp.int32)
+        M = jnp.maximum(W, 2)            # lone-poly quirk: duplicate poly 0
+        omat = jnp.zeros((Bp, Bp), bool).at[ii, jj].set(ov & (jj < W))
+        omat = omat | omat.T
+        iar = jnp.arange(Bp)
+        omat = omat | (jnp.abs(iar[:, None] - iar[None, :]) == 1)
+        # next hop: smallest j < i with overlap (i-1 always eligible)
+        cand = jnp.where(omat & (iar[None, :] < iar[:, None]),
+                         iar[None, :], Bp)
+        jn = jnp.where(iar == 0, 0,
+                       jnp.minimum(jnp.min(cand, axis=1),
+                                   iar - 1)).astype(jnp.int32)
+
+        def hop(c, _):
+            return jn[c], c
+
+        _, cs = jax.lax.scan(hop, (M - 1).astype(jnp.int32), None,
+                             length=Bp)                   # chain, c_0 = M-1
+        seg = 1 + jnp.argmax(cs == 0)          # polys in the cut corridor
+
+        # corridor slot t = chain entry seg-1-t; indices past W-1 map to the
+        # duplicated lone poly
+        t = jnp.arange(S)
+        src = cs[jnp.clip(seg - 1 - t, 0, Bp - 1)]
+        wi = jnp.minimum(src, jnp.maximum(W - 1, 0))
+        live = (t < seg)
+        hp_out = hpn[wi] * live[:, None, None]
+        mk_out = mk[wi] * live[:, None]
+
+        # ---- in-kernel goal refinement (min_traj_opt.py:214-232) ----
+        last = hpn[jnp.minimum(M - 1, jnp.maximum(W - 1, 0))]
+        lmk = mk[jnp.minimum(M - 1, jnp.maximum(W - 1, 0))]
+        depth = lambda x: jnp.max(jnp.where(
+            lmk > 0, last[:, :3] @ x - last[:, 3], -1.0))
+        lam = 1.0 - jnp.arange(1, 20, dtype=hpn.dtype) / 20.0
+        cands = (1.0 - lam)[:, None] * anchor + lam[:, None] * goal
+        feas = jax.vmap(lambda x: depth(x) <= 0.0)(cands)
+        first = jnp.argmax(feas)
+        goal_r = jnp.where(depth(goal) <= 0.01, goal,
+                           jnp.where(jnp.any(feas), cands[first], goal))
+
+        # rest-to-rest boundary state for the cold plan (consumed directly
+        # by the driver's cold tick when pipelining — no host assembly)
+        state9 = jnp.zeros((1, 2, 3, 3), hpn.dtype)
+        state9 = state9.at[0, 0, :, 0].set(start)
+        state9 = state9.at[0, 1, :, 0].set(goal_r)
+        return hp_out, mk_out, seg, any_gap, goal_r, state9
+
+    return jax.jit(fused)
+
+
+def _points_bucket(n: int, n_max: int) -> int:
+    """Smallest point-count bucket holding every cropped window exactly."""
+    for b in (256, 512, 1024):
+        if n <= b and b < n_max:
+            return b
+    return n_max
+
+
+def corridor_online_dispatch(
+    route: np.ndarray,
+    points: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    ccfg: CorridorConfig,
+    qcfg: QPConfig,
+    n_points: int = 2048,
+    n_planes: int = 50,
+    eps: float = 1e-6,
+):
+    """Dispatch the fused corridor kernel WITHOUT syncing: returns the
+    device result tuple (hp (S,F,4) padded+normalized, mk (S,F), seg,
+    any_gap, refined_goal).  Callers that pipeline further device work
+    (e.g. the speculative cold plan) consume the device arrays directly;
+    corridor_online() below is the synchronous wrapper."""
+    dt = jnp.zeros(0).dtype                 # f32 on TPU, f64 under x64 tests
+    windows = walk_route(route, ccfg.progress)
+    W = len(windows)
+    bds = np.zeros((W, 6, 4))
+    los = np.zeros((W, 3))
+    his = np.zeros((W, 3))
+    for k, (a, b) in enumerate(windows):
+        bds[k] = window_bounds(a, b, ccfg.range_xy, lo, hi)
+        los[k], his[k] = window_box(a, b, ccfg.range_xy, lo, hi)
+    pcs, masks = _crop_windows(points, los, his, n_points)
+    # exact point-count bucket: the crop is lossless below n_points, so
+    # shrinking the padded cloud to the smallest bucket that holds every
+    # window cuts both the H2D transfer and the FIRI FLOPs (typical clutter
+    # windows hold a few hundred surface points, not 2048)
+    n_live = int(masks.sum(axis=1).max()) if W else 0
+    P = _points_bucket(n_live, n_points)
+    pcs, masks = pcs[:, :P], masks[:, :P]
+    sa = np.asarray([w[0] for w in windows])
+    sb = np.asarray([w[1] for w in windows])
+
+    Bp = _bucket(W)
+    if Bp != W:
+        pad = Bp - W
+        dummy_bd = np.tile(window_bounds(np.zeros(3), np.ones(3), 1.0,
+                                         -np.full(3, 10.0), np.full(3, 10.0)),
+                           (pad, 1, 1))
+        bds = np.concatenate([bds, dummy_bd])
+        pcs = np.concatenate([pcs, np.full((pad,) + pcs.shape[1:], 1e9)])
+        masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:])])
+        sa = np.concatenate([sa, np.zeros((pad, 3)) + 0.2])
+        sb = np.concatenate([sb, np.zeros((pad, 3)) + 0.4])
+    wmask = np.zeros(Bp)
+    wmask[:W] = 1.0
+    anchor = route[-2] if len(route) > 1 else route[-1]
+
+    # host-side dtype conversion (a tunneled chip must not receive f64)
+    args = [jnp.asarray(np.asarray(x, dt)) for x in
+            (bds, pcs, masks, sa, sb, wmask, route[-1], anchor, route[0])]
+    out = _corridor_online_jit(Bp, n_planes, ccfg.firi_iters, eps,
+                               qcfg.max_seg)(*args)
+    return out
+
+
+def corridor_online(
+    route: np.ndarray,
+    points: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    ccfg: CorridorConfig,
+    qcfg: QPConfig,
+    n_points: int = 2048,
+    n_planes: int = 50,
+    eps: float = 1e-6,
+):
+    """Single-dispatch corridor for the latency-critical interactive path:
+    returns (hpolys (S, F, 4) zero-padded normalized, seg, polys list,
+    refined_goal) — the composition normalize(short_cut(convex_cover())) +
+    goal refinement of the generic pipeline, minus the per-stage device
+    syncs.  Results are identical to the generic pipeline on gap-free plans
+    (tested); plans with gap windows fall back to it.  seg may exceed
+    qcfg.max_seg (long corridor) — callers reject exactly like the
+    reference (learning_planner.hpp:287-291)."""
+    hp_d, mk_d, seg_d, any_gap_d, goal_d, _ = corridor_online_dispatch(
+        route, points, lo, hi, ccfg, qcfg,
+        n_points=n_points, n_planes=n_planes, eps=eps)
+    hp, mk, seg, any_gap, goal_r = jax.device_get(
+        (hp_d, mk_d, seg_d, any_gap_d, goal_d))
+
+    if bool(any_gap):                                 # rare: gap polytopes
+        polys = convex_cover(route, points, lo, hi, ccfg,
+                             n_points=n_points, n_planes=n_planes, eps=eps)
+        polys = short_cut(polys)
+        polys = normalize_polys(polys)
+        hp, seg = to_padded(polys, qcfg)
+        route_r = _refine_goal_host(route, polys[-1])
+        return hp, seg, polys, route_r[-1]
+
+    seg = int(seg)
+    S = qcfg.max_seg
+    polys = [np.asarray(hp[i][mk[i] > 0]) for i in range(min(seg, S))]
+    return np.asarray(hp, np.float64), seg, polys, np.asarray(goal_r)
+
+
+def _refine_goal_host(route: np.ndarray, last_poly: np.ndarray) -> np.ndarray:
+    """Host mirror of the in-kernel goal refinement (min_traj_opt.py:
+    214-232): pull the goal inside the last polytope by interpolating
+    toward the previous route point."""
+    goal = route[-1]
+    a, b = last_poly[:, :3], last_poly[:, 3]
+    if np.max(a @ goal - b) <= 0.01:
+        return route
+    anchor = route[-2] if len(route) > 1 else goal
+    for k in range(1, 20):
+        lam = 1.0 - k / 20.0
+        cand = (1.0 - lam) * anchor + lam * goal
+        if np.max(a @ cand - b) <= 0.0:
+            out = route.copy()
+            out[-1] = cand
+            return out
+    return route
 
 
 def normalize_polys(polys: list[np.ndarray]) -> list[np.ndarray]:

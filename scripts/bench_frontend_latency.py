@@ -131,13 +131,16 @@ def cold_plan(cfg, net, params):
         if route is None:
             continue
         with pt.phase("corridor"):
-            polys = sfc.convex_cover(route, pmap.surf, pmap.lo, pmap.hi,
-                                     online)
-            polys = sfc.short_cut(polys)
-            if len(polys) > S:
+            # the deployed fused single-dispatch corridor (sfc.corridor_
+            # online, same path plan_corridor takes): FIRI + gap test +
+            # overlap LPs + greedy shortcut + goal refinement in ONE
+            # XLA program
+            hp, seg, polys, goal_r = sfc.corridor_online(
+                route, pmap.surf, pmap.lo, pmap.hi, online, qcfg)
+            if seg > S:
                 continue
-            polys = sfc.normalize_polys(polys)
-            hp, seg = sfc.to_padded(polys, qcfg)
+            route = route.copy()
+            route[-1] = goal_r
         state9 = np.zeros((1, 2, 3, 3), np.float32)
         state9[0, 0, :, 0] = start
         state9[0, 1, :, 0] = route[-1]
@@ -166,6 +169,33 @@ def cold_plan(cfg, net, params):
     return agg
 
 
+def cold_plan_pipelined(cfg, net, params):
+    """End-to-end wall time of planner.plan_cold_pipelined — the speculative
+    zero-intermediate-sync production path (route -> fused corridor kernel
+    -> cold tick -> ONE fetch)."""
+    from allocnet_tpu.planner import driver as driver_lib
+
+    online = dataclasses.replace(cfg, corridor=cfg.corridor.online())
+    cold = driver_lib.make_cold_tick(net, online, params, rate_hz=10.0)
+    walls, solved_l = [], []
+    for k, (pmap, start, goal) in enumerate(scenario_stream([210, 211], 10)):
+        t0 = time.perf_counter()
+        out = planner_lib.plan_cold_pipelined(pmap, start, goal, online,
+                                              cold, seed=1000 + k)
+        wall = time.perf_counter() - t0
+        if not out[0]:
+            continue
+        walls.append(wall * 1e3)
+        solved_l.append(out[5])
+    walls_t = walls[1:]                       # row 1 carries the jit compile
+    return {
+        "total_ms_p50": round(float(np.percentile(walls_t, 50)), 2),
+        "total_ms_p95": round(float(np.percentile(walls_t, 95)), 2),
+        "n_plans": len(walls_t),
+        "solved_frac": round(float(np.mean(solved_l[1:])), 4),
+    }
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     cfg = AllocNetConfig()      # deploy point: res=20, v<=4, a<=6
@@ -181,8 +211,10 @@ def main():
     params = jax.tree.map(jnp.asarray, import_torch.load_torchscript_lstm(
         "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
     cold = cold_plan(cfg, net, params)
+    piped = cold_plan_pipelined(cfg, net, params)
 
     out = {"curve": curve, "cold_plan_deploy": cold,
+           "cold_plan_pipelined": piped,
            "deployed_frontend": {
                "use_rrt_star": cfg.corridor.use_rrt_star,
                "rrt_max_iter": cfg.corridor.rrt_max_iter,

@@ -171,3 +171,42 @@ def test_driver_aot_roundtrip(tmp_path):
     params2 = {"t": jnp.asarray(4.0), "S": cfg.qp.max_seg}
     drv3 = driver_lib.Driver(net, params2, cfg, rate_hz=10.0, aot_path=path)
     assert not drv3.aot_loaded
+
+
+def test_plan_cold_pipelined_matches_split_path(tmp_path):
+    """planner.plan_cold_pipelined (speculative corridor-kernel -> cold-tick
+    chain, zero intermediate syncs) must produce the same corridor and the
+    same cold-tick decision as plan_corridor + a manual cold tick."""
+    from allocnet_tpu.config import CorridorConfig
+    cfg = AllocNetConfig(qp=QPConfig(res=10),
+                         solver=SolverConfig(n_chunks=4, polish_rounds=6,
+                                             iters_per_chunk=250),
+                         corridor=CorridorConfig(use_rrt_star=False))
+    net = ConstTimeNet()
+    params = {"t": jnp.asarray(5.0), "S": cfg.qp.max_seg}
+    pts = _pillar_map()
+    pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
+                                 dilate_r=2)
+    start = np.array([2.0, 3.0, 2.0])
+    goal = np.array([18.0, 3.0, 2.0])
+
+    cold = driver_lib.make_cold_tick(net, cfg, params, rate_hz=10.0)
+    ok, reason, route, hp, seg, solved, plan_c, times, adv = \
+        planner_lib.plan_cold_pipelined(pmap, start, goal, cfg, cold, seed=3)
+    assert ok, reason
+    assert solved
+
+    cp = planner_lib.plan_corridor(pmap, start, goal, cfg, seed=3)
+    assert cp.ok
+    assert seg == cp.seg
+    np.testing.assert_allclose(hp, np.asarray(cp.hpolys, hp.dtype), atol=1e-6)
+    np.testing.assert_allclose(route[-1], cp.route[-1], atol=1e-6)
+
+    st9 = np.zeros((1, 2, 3, 3), np.float32)
+    st9[0, 0, :, 0] = start
+    st9[0, 1, :, 0] = cp.route[-1]
+    solved2, plan2, times2, _ = cold(
+        jnp.asarray(st9), jnp.asarray(cp.hpolys, jnp.float32)[None],
+        jnp.asarray([cp.seg], jnp.int32))
+    assert bool(np.asarray(solved2)[0]) == solved
+    np.testing.assert_allclose(times, np.asarray(times2), atol=1e-5)

@@ -129,3 +129,38 @@ def test_batched_corridors_match_serial():
                                        atol=1e-6)
             np.testing.assert_allclose(batch[b].route, serial.route,
                                        atol=1e-6)
+
+
+def test_corridor_online_matches_generic():
+    """The fused single-dispatch corridor (sfc.corridor_online) must
+    reproduce the generic convex_cover -> short_cut -> normalize pipeline
+    exactly on gap-free plans, and fall back to it on plans with gap
+    windows (VERDICT r4 #4: the cold plan's latency fix must not change
+    the geometry)."""
+    from allocnet_tpu.config import QPConfig as QC, CorridorConfig
+    qcfg = QC(res=10)
+    ccfg = CorridorConfig()
+    lo, hi = np.array([0., 0., 0.]), np.array([20., 20., 4.])
+    n_checked = 0
+    for seed in range(4):
+        pts = _obstacle_map(seed=seed)
+        start = np.array([1., 1. + seed, 1.5])
+        goal = np.array([19., 19. - seed, 2.0])
+        path = rrt.plan(start, goal, pts, lo, hi, safe_dis=0.5, seed=3)
+        if path is None:
+            continue
+        path = rrt.simplify(path, pts, 0.5)
+
+        polys = sfc.normalize_polys(sfc.short_cut(
+            sfc.convex_cover(path, pts, lo, hi, ccfg)))
+        hp_ref, seg_ref = sfc.to_padded(polys, qcfg)
+
+        hp, seg, polys_f, goal_r = sfc.corridor_online(path, pts, lo, hi,
+                                                       ccfg, qcfg)
+        assert seg == seg_ref
+        np.testing.assert_allclose(hp, hp_ref, atol=1e-8)
+        # in-kernel goal refinement must match the host mirror
+        route_ref = sfc._refine_goal_host(path, polys[-1])
+        np.testing.assert_allclose(goal_r, route_ref[-1], atol=1e-8)
+        n_checked += 1
+    assert n_checked >= 3
