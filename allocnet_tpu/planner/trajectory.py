@@ -253,12 +253,50 @@ def _certified_max_rates_impl(traj: Trajectory, levels: int):
     return vel_ub, vel_lb, acc_ub, acc_lb
 
 
+def certified_axis_rates(traj: Trajectory, levels: int = 4
+                         ) -> tuple[jax.Array, jax.Array]:
+    """PER-AXIS certified bounds: (max_t,axis |vel_axis|, max_t,axis
+    |acc_axis|) per trajectory — upper bounds via the Bernstein hull of the
+    derivative polynomials themselves (no squaring), tightened by de
+    Casteljau subdivision.
+
+    This is the bound matching the constraint set the QP actually enforces:
+    the reference's dynamic limits are PER-AXIS boxes (planner.yaml
+    MaxVelBox/MaxAccBox; qp_solver.hpp:255-296 fills +-rows per axis), not
+    norm balls.  certified_max_rates (above) bounds the NORM — a strictly
+    stronger claim no box-constrained plan promises: a diagonal flight with
+    every axis exactly at its limit has norm sqrt(3)x the box."""
+    with jax.default_matmul_precision('float32'):
+        dtype = traj.coeffs.dtype
+
+        def bound(r: int) -> jax.Array:
+            e = _deriv_tau_coeffs(traj, r)          # (B,S,3,K) ascending
+            K = e.shape[-1]
+            A = jnp.asarray(_mono_to_bernstein(K - 1), dtype)
+            b = jnp.einsum('jk,bsxk->bsxj', A, e)[:, :, :, None, :]
+            L, R = (jnp.asarray(m, dtype)
+                    for m in _subdivision_matrices(K - 1))
+            for _ in range(levels):
+                bl = jnp.einsum('jk,bsxik->bsxij', L, b)
+                br = jnp.einsum('jk,bsxik->bsxij', R, b)
+                b = jnp.concatenate([bl, br], axis=3)
+            mask = traj.seg_mask[:, :, None, None, None]
+            return jnp.max(jnp.where(mask > 0, jnp.abs(b), -jnp.inf),
+                           axis=(1, 2, 3, 4))
+
+        return bound(1), bound(2)
+
+
 def certify_box(traj: Trajectory, max_vel: float, max_acc: float,
-                levels: int = 3) -> jax.Array:
-    """True certificate that |vel| <= max_vel and |acc| <= max_acc hold for
-    ALL t (not just at samples).  Conservative: a True is a proof; a False
-    may be a bound-tightness artifact (raise `levels` to refine)."""
-    vel_ub, _, acc_ub, _ = certified_max_rates(traj, levels=levels)
+                levels: int = 4) -> jax.Array:
+    """True certificate that the PER-AXIS box limits |vel_axis| <= max_vel
+    and |acc_axis| <= max_acc hold for ALL t (not just at samples) — the
+    exact constraint semantics of the corridor QP (qp_solver.hpp:255-296,
+    planner.yaml MaxVelBox/MaxAccBox).  Conservative: a True is a proof; a
+    False may be a bound-tightness artifact (raise `levels` to refine).
+    For a bound on the velocity/acceleration NORM (a stronger claim than
+    the QP makes) see certified_max_rates."""
+    vel_ub, acc_ub = certified_axis_rates(traj, levels=levels)
     return (vel_ub <= max_vel) & (acc_ub <= max_acc)
 
 
@@ -302,13 +340,42 @@ def certified_max_rates_host(coeffs: np.ndarray, times: np.ndarray,
     return ub(1), ub(2)
 
 
+def certified_axis_rates_host(coeffs: np.ndarray, times: np.ndarray,
+                              seg: np.ndarray, levels: int = 4
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Float64 NumPy mirror of `certified_axis_rates` (per-axis bounds)."""
+    coeffs = np.asarray(coeffs, np.float64)
+    times = np.asarray(times, np.float64)
+    B, S, _, D = coeffs.shape
+    mask = (np.arange(S)[None, :] < np.asarray(seg)[:, None])
+    c_deg = coeffs[..., ::-1]
+    tsafe = np.where(mask, np.maximum(times, 1e-9), 1.0)
+
+    def ub(r: int) -> np.ndarray:
+        K = D - r
+        fall = np.array([bases.falling_factorial(k + r, r)
+                         for k in range(K)], np.float64)
+        tp = tsafe[:, :, None] ** np.arange(K)[None, None]
+        e = c_deg[..., r:] * fall * tp[:, :, None, :]  # (B,S,3,K)
+        A = _mono_to_bernstein(K - 1)
+        b = np.einsum('jk,bsxk->bsxj', A, e)[:, :, :, None, :]
+        L, R = _subdivision_matrices(K - 1)
+        for _ in range(levels):
+            b = np.concatenate([np.einsum('jk,bsxik->bsxij', L, b),
+                                np.einsum('jk,bsxik->bsxij', R, b)], axis=3)
+        return np.max(np.where(mask[:, :, None, None, None],
+                               np.abs(b), -np.inf), axis=(1, 2, 3, 4))
+
+    return ub(1), ub(2)
+
+
 def certify_box_host(coeffs: np.ndarray, times: np.ndarray, seg: np.ndarray,
                      max_vel: float, max_acc: float,
                      levels: int = 4) -> np.ndarray:
-    """Host-f64 `certify_box`: (B,) bool, True = proof of box feasibility
-    for all t (reference semantics: trajectory.hpp:177-315 root-isolation
-    checks, here via Bernstein bounds)."""
-    vel_ub, acc_ub = certified_max_rates_host(coeffs, times, seg, levels)
+    """Host-f64 `certify_box`: (B,) bool, True = proof of PER-AXIS box
+    feasibility for all t (the QP's constraint semantics, qp_solver.hpp:
+    255-296; reference root-isolation analog: trajectory.hpp:177-315)."""
+    vel_ub, acc_ub = certified_axis_rates_host(coeffs, times, seg, levels)
     return (vel_ub <= max_vel) & (acc_ub <= max_acc)
 
 

@@ -88,3 +88,29 @@ def test_host_f64_certificate_matches_jax_path():
         np.asarray(traj.seg_mask.sum(axis=1)).astype(int),
         mid_v, mid_a, levels=4)
     assert np.array_equal(ok_jax, ok_host)
+
+
+def test_axis_rates_host_matches_jax_and_bounds_samples():
+    """Per-axis certificate (the QP's actual box semantics): host f64
+    mirror == JAX path, and the bound dominates dense per-axis sampling
+    while staying below the norm bound."""
+    traj = _random_traj(B=8, S=4, seed=13)
+    vu, au = trajectory.certified_axis_rates(traj, levels=4)
+    hvu, hau = trajectory.certified_axis_rates_host(
+        np.asarray(traj.coeffs), np.asarray(traj.times),
+        np.asarray(traj.seg_mask.sum(axis=1)).astype(int), levels=4)
+    np.testing.assert_allclose(hvu, np.asarray(vu), rtol=1e-9)
+    np.testing.assert_allclose(hau, np.asarray(au), rtol=1e-9)
+
+    # dense per-axis sampled max <= axis bound <= norm bound
+    ts, states = trajectory.sample(traj, 4001, max_deriv=2)
+    v_ax = np.max(np.abs(np.asarray(states)[:, :, 1, :]), axis=(1, 2))
+    a_ax = np.max(np.abs(np.asarray(states)[:, :, 2, :]), axis=(1, 2))
+    nvu, _, nau, _ = trajectory.certified_max_rates(traj, levels=4)
+    assert np.all(v_ax <= hvu + 1e-9)
+    assert np.all(a_ax <= hau + 1e-9)
+    assert np.all(hvu <= np.asarray(nvu) + 1e-9)
+    assert np.all(hau <= np.asarray(nau) + 1e-9)
+    # tight: within 1% of the dense sampled max
+    assert np.all(hvu <= v_ax * 1.01 + 1e-9)
+    assert np.all(hau <= a_ax * 1.01 + 1e-9)
