@@ -91,3 +91,48 @@ def test_seq10_plan_end_to_end():
     vmax, amax = traj_lib.max_rates(one)
     assert float(vmax[0]) <= cfg.qp.max_vel * 1.2
     assert float(amax[0]) <= cfg.qp.max_acc * 1.2
+
+
+def test_default_frontend_e2e_with_in_distribution_net():
+    """ADVICE r4: the ONLY e2e test pinned use_rrt_star=False, leaving the
+    deployed Informed-RRT* default uncovered through corridor->net->QP.
+    This companion keeps the default front-end and uses the repo's own
+    in-distribution flagship checkpoint (runs/big4, trained on
+    random_obstacle_map clutter at res=10, v<=5, a<=7)."""
+    from allocnet_tpu.models.networks import ConvLSTMAllocNet
+    from allocnet_tpu.planner import native
+    from allocnet_tpu.train import datagen, trainer as trainer_lib
+    from allocnet_tpu.train import train_step as ts_lib
+    from allocnet_tpu.config import TrainConfig
+
+    if not native.available():
+        pytest.skip("native runtime not built (Informed RRT* front-end)")
+
+    cfg = AllocNetConfig(
+        qp=QPConfig(res=10, max_vel=5.0, max_acc=7.0),
+        solver=SolverConfig(n_chunks=4, iters_per_chunk=250,
+                            polish_rounds=4),
+        model=ModelConfig(hidden_size=256, token_thresh=0.42),
+    )
+    assert cfg.corridor.use_rrt_star          # the deployed default
+    pts = datagen.random_obstacle_map(77)
+    pmap = planner_lib.build_map(pts, [0, 0, 0], [20, 20, 4], scale=0.25,
+                                 dilate_r=2)
+    assert pmap.native is not None
+
+    net = ConvLSTMAllocNet(seq_len=5, hidden_size=256, token_thresh=0.42)
+    s0 = jnp.zeros((1, 2, 3, 3), jnp.float32)
+    h0 = jnp.zeros((1, 5, 50, 4), jnp.float32)
+    template = ts_lib.init_state(net, TrainConfig(), s0, h0)
+    ck = trainer_lib.latest_checkpoint("runs/big4/checkpoints")
+    assert ck, "committed flagship checkpoint missing"
+    ts, _ = trainer_lib.restore_checkpoint(ck, template)
+
+    starts = np.array([[1.5, 1.5, 1.5], [2.0, 18.0, 2.0], [1.0, 10.0, 1.0]])
+    goals = np.array([[18.5, 18.0, 2.0], [18.0, 2.0, 1.5], [19.0, 10.0, 2.5]])
+    out = planner_lib.plan_many(pmap, starts, goals, net, ts.params, cfg,
+                                seed=5)
+    assert out.corridor_ok.any(), out.reasons
+    solved = out.corridor_ok & np.asarray(out.result.solved)
+    assert solved.any(), (out.reasons, np.asarray(out.result.solved))
+    assert np.all(np.isfinite(np.asarray(out.traj.coeffs)))
