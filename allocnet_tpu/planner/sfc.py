@@ -333,10 +333,13 @@ def _corridor_online_jit(Bp: int, n_planes: int, iterations: int, eps: float,
 
 
 def _points_bucket(n: int, n_max: int) -> int:
-    """Smallest point-count bucket holding every cropped window exactly."""
-    for b in (256, 512, 1024):
-        if n <= b and b < n_max:
-            return b
+    """Smallest point-count bucket holding every cropped window exactly.
+    Two buckets only: every distinct (window-bucket, point-bucket) pair is
+    a separate XLA compile of the fused corridor kernel, and compiles
+    through the chip tunnel cost 30-60 s — granularity below 512 saves
+    ~KBs of H2D for minutes of first-use latency."""
+    if n <= 512 and n_max > 512:
+        return 512
     return n_max
 
 

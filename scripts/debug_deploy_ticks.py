@@ -44,6 +44,9 @@ def main():
         "/root/reference/src/planner/models/seq5_tokenthresh0_35_cpu.pt"))
     drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
     drv.prewarm()
+    # post-mortems must rebuild the QP exactly as the tick programs do:
+    # the driver solves against margin-tightened box limits (cfg_tick)
+    qcfg_tick = drv.cfg_tick.qp
 
     failures = []
     rng = np.random.default_rng(12345)
@@ -90,7 +93,7 @@ def main():
         line = (f"map {mi} tick {k}: warm={snap['warm']} seg={snap['seg']} "
                 f"t={np.round(tq[:snap['seg']], 3)} sliver={sliver}")
         if snap["warm"]:
-            data = qp.build_qp(cfg.qp, state9, hp, jnp.asarray(tq)[None], seg)
+            data = qp.build_qp(qcfg_tick, state9, hp, jnp.asarray(tq)[None], seg)
             x0 = qp.scale_coeffs(data, jnp.asarray(snap["prev_coeffs"]))
             y0 = jax.tree.map(jnp.asarray, snap["prev_duals"])
             for name, scfg, xx, yy in (
@@ -113,7 +116,7 @@ def main():
             for s in driver_lib.HEDGE_SCALES:
                 tqs = np.where(mask > 0,
                                np.maximum(np.asarray(tnet)[0] * s, 0.05), 1.0)
-                d = qp.build_qp(cfg.qp, state9, hp,
+                d = qp.build_qp(qcfg_tick, state9, hp,
                                 jnp.asarray(tqs, jnp.float32)[None], seg)
                 sol = admm.solve_qp(d, scfg_c)
                 line += (f" | s={s}: solved={bool(sol.solved[0])} "

@@ -86,13 +86,37 @@ def main():
 
     certify = bool(os.environ.get("DRIVE_EVAL_CERTIFY"))
     t0 = time.perf_counter()
+    # AOT executables cover the tick programs; the persistent compilation
+    # cache covers everything compiled in-process (corridor kernel buckets:
+    # ~40 s each to compile, ~1 s to reload)
     drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0, certify=certify,
-                            aot_path="/root/repo/runs/drive/aot_ticks")
+                            aot_path="/root/repo/runs/drive/aot_ticks",
+                            cache_dir="/root/repo/runs/drive/xla_cache")
     drv.prewarm()
     prewarm_s = time.perf_counter() - t0
 
+    # prewarm the fused-corridor kernel buckets OUTSIDE the measured loop:
+    # each (window-bucket, point-bucket) combo is a one-time XLA compile
+    # that would otherwise land mid-eval (and a tunnel compile RPC is the
+    # one call that can stall for minutes)
+    from allocnet_tpu.planner import sfc as sfc_lib
+    t0 = time.perf_counter()
+    rngp = np.random.default_rng(0)
+    for Bp in (4, 8, 16):
+        for n_live in (300, 1900):       # -> point buckets 512 and 2048
+            # a route with exactly Bp windows (walk_route at progress 3.0)
+            route = np.linspace([1, 1, 1], [1 + 2.9 * Bp, 1, 1], Bp + 1)
+            pts_dummy = rngp.uniform([0, 0, 0], [1 + 3.0 * Bp, 2, 4],
+                                     size=(n_live, 3))
+            sfc_lib.corridor_online(route, pts_dummy, lo, hi, cfg.corridor,
+                                    cfg.qp)
+    print(f"corridor kernel prewarm {time.perf_counter() - t0:.1f} s",
+          flush=True)
+
     missions = []
     lats_all = []
+    partial_path = os.path.join(OUT, "drive_eval_partial.jsonl")
+    open(partial_path, "w").close()
     rng = np.random.default_rng(12345)
     for mi in range(n_maps):
         map_seed = 100 + mi
@@ -109,16 +133,23 @@ def main():
             # seed gives different corridor geometry and a different QP.
             flown, attempts = 0, 0
             while (not st.done and len(res) < max_ticks and flown < 4
-                   and attempts < 12
+                   and attempts < 20
                    and not np.any([r.solved for r in res[-3:]])):
                 attempts += 1
                 # mid-flight replans use the ONLINE front-end budget
                 # (1k Informed-RRT* iterations ~ the reference's 0.01 s
-                # OMPL budget; offline mission setup keeps the 5k cap)
+                # OMPL budget); after 3 failed attempts ESCALATE to the
+                # offline 5k budget — r5 root cause of the one mission
+                # loss: a start position where the 1k budget mostly
+                # returns no_path, so the loop burned its attempts
+                # without ever getting a fresh corridor (the reference
+                # would simply block on OMPL longer)
                 import dataclasses as _dc
+                ccfg2 = (cfg.corridor.online() if attempts <= 3
+                         else cfg.corridor)
                 cp2 = planner_lib.plan_corridor(
                     pmap, st.pos, cp.route[-1],
-                    _dc.replace(cfg, corridor=cfg.corridor.online()),
+                    _dc.replace(cfg, corridor=ccfg2),
                     seed=int(rng.integers(1 << 30)))
                 if not cp2.ok:
                     continue
@@ -156,6 +187,8 @@ def main():
                 "n_certified_true": int(sum(certs)),
             })
             m = missions[-1]
+            with open(partial_path, "a") as pf:
+                pf.write(json.dumps(m) + "\n")
             print(f"map {map_seed} mission {len(missions)}: "
                   f"arrived={m['arrived']} dist={m['final_dist_m']} "
                   f"ticks={m['n_ticks']} solve={m['solve_rate']}",
