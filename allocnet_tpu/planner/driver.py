@@ -320,7 +320,7 @@ SLIVER_RATIO = 0.6
 def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
                strong: bool,
                state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
-               prev: PlanState):
+               prev: PlanState, sliver_ratio: float = SLIVER_RATIO):
     """One warm tick: re-solve from the pinned state with the shifted
     previous plan as warm start, fall back to tracking it on failure, then
     advance.  Returns (solved, plan_c, times, advance).
@@ -349,7 +349,7 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
                                       times_q, seg, steps=refine_steps)
         times_q = jnp.where(mask > 0, jnp.maximum(ref.times, T_MIN), 1.0)
 
-    sliver = (seg > 1) & (times_q[:, 0] < SLIVER_RATIO * times_q[:, 1])
+    sliver = (seg > 1) & (times_q[:, 0] < sliver_ratio * times_q[:, 1])
 
     # sub-problem B: corridor/plan rolled by one, start pinned at the
     # junction state of the previous plan's piece 0
@@ -496,9 +496,11 @@ def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
 
 
 def make_warm_tick(cfg: AllocNetConfig, rate_hz: float = 10.0,
-                   refine_steps: int = 0, strong: bool = False):
+                   refine_steps: int = 0, strong: bool = False,
+                   sliver_ratio: float = SLIVER_RATIO):
     return jax.jit(functools.partial(_warm_tick, cfg, 1.0 / rate_hz,
-                                     refine_steps, strong))
+                                     refine_steps, strong,
+                                     sliver_ratio=sliver_ratio))
 
 
 def make_cold_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
@@ -536,7 +538,7 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 # --- AOT tick-executable artifacts (the deployment fast-start path) --------
 
-_AOT_NAMES = ("cold", "warm", "rescue")
+_AOT_NAMES = ("cold", "warm", "rescue", "rescue_full")
 
 
 def _aot_manifest(cfg: AllocNetConfig, params) -> dict:
@@ -605,6 +607,14 @@ class Driver:
         # only when the fast warm solve misses (the 100 ms tick budget has
         # room for a second small-batch solve; solving beats tracking)
         self._rescue = make_warm_tick(ct, rate_hz, refine_steps, strong=True)
+        # last-resort rescue: certification budget on the FULL corridor
+        # with the sliver split DISABLED.  Replaying the r5 failure corpus
+        # (scripts/analyze_warm_misses.py): of 19 true warm misses the
+        # 2-lane rescue left, 6 solve as the un-split problem — the split
+        # suffix sub-problem (junction start pinned at speed) is sometimes
+        # HARDER than the full corridor it was protecting against
+        self._rescue_full = make_warm_tick(ct, rate_hz, refine_steps,
+                                           strong=True, sliver_ratio=0.0)
 
     # -- AOT executable artifacts (fast cold start) ------------------------
 
@@ -628,6 +638,8 @@ class Driver:
             "cold": self._cold.lower(state9, hpolys, seg).compile(),
             "warm": self._warm.lower(state9, hpolys, seg, prev).compile(),
             "rescue": self._rescue.lower(state9, hpolys, seg, prev).compile(),
+            "rescue_full": self._rescue_full.lower(
+                state9, hpolys, seg, prev).compile(),
         }
         sizes = {}
         for name, ex in compiled.items():
@@ -672,8 +684,9 @@ class Driver:
                 execs = {n: f.result() for n, f in futs.items()}
         except Exception:
             return False
-        self._cold, self._warm, self._rescue = (
-            execs["cold"], execs["warm"], execs["rescue"])
+        self._cold, self._warm, self._rescue, self._rescue_full = (
+            execs["cold"], execs["warm"], execs["rescue"],
+            execs["rescue_full"])
         return True
 
     def prewarm(self, goal_dist: float = 5.0):
@@ -699,6 +712,7 @@ class Driver:
         seg2 = jnp.asarray(adv.seg, jnp.int32)
         _ = self._warm(adv.state9, adv.hpolys, seg2, adv.prev)
         _ = self._rescue(adv.state9, adv.hpolys, seg2, adv.prev)
+        _ = self._rescue_full(adv.state9, adv.hpolys, seg2, adv.prev)
         jax.block_until_ready(_[0])
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
@@ -742,6 +756,11 @@ class Driver:
                 # in-tick rescue at the certification budget (same warm
                 # start); solving beats tracking and the budget has room
                 solved, plan_c, times, adv = self._rescue(
+                    jnp.asarray(state9), hp_dev, seg_dev, st.prev)
+                ok = bool(np.asarray(solved)[0])
+            if not ok:
+                # last resort: full-corridor re-solve, sliver split off
+                solved, plan_c, times, adv = self._rescue_full(
                     jnp.asarray(state9), hp_dev, seg_dev, st.prev)
                 ok = bool(np.asarray(solved)[0])
         else:

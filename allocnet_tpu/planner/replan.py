@@ -40,7 +40,10 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
     lifts the warm-tick solve rate."""
     return dataclasses.replace(
         scfg, n_chunks=1,
-        iters_per_chunk=max(60, scfg.iters_per_chunk // 2),
+        # r5: 150 (not 75) — replaying the drive-eval warm-miss corpus,
+        # 3/19 residual misses were pure budget (solve clean at 150); the
+        # B=1 tick is RTT-dominated so the extra iterations are free
+        iters_per_chunk=max(150, scfg.iters_per_chunk),
         polish_rounds=max(4, scfg.polish_rounds),
         # warm ticks hit the degenerate-corridor geometry the drop/enter
         # passes exist for, and the tick is RTT-dominated -- the extra KKT
