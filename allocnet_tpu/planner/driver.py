@@ -381,51 +381,78 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
 
     data = qp.build_qp(qcfg, state9_s, hp_s, times_s, seg_s)
     x0 = qp.scale_coeffs(data, warm_c)
+
+    def _splice(sol, sol_d):
+        """Map a SPLIT-problem solution back to full-corridor space: slot 0
+        = frozen previous piece, slots 1.. = the sub-problem's pieces."""
+        dst = jnp.clip(jnp.arange(S)[None, :] - 1, 0, S - 1) * jnp.ones(
+            (B, 1), jnp.int32)
+        unrolled = jnp.take_along_axis(sol.coeffs, dst[:, :, None, None],
+                                       axis=1)
+        unrolled = unrolled.at[:, 0].set(prev.coeffs[:, 0])
+        sol_c = sel(unrolled, sol.coeffs)
+        sol_d_unrolled = _roll_duals(sol_d, dst, seg, zero_first=True)
+        sol_d = jax.tree.map(lambda b, a: sel(b, a), sol_d_unrolled, sol_d)
+        return sol_c, sol_d
+
     if strong:
         # in-tick RESCUE (run by the host only when the fast warm solve
-        # missed): certification-scale budget over a 2B batch of the SAME
-        # scenarios — warm-started AND from scratch — in one solve.  A
-        # carried (x, y) pair from a nearby problem occasionally traps the
-        # iteration at a stale active set that a scratch solve escapes
-        # (measured: scratch found obj 66 where the warm-started rescue
-        # stalled at 78); batching both costs one tiny extra lane, not a
-        # second dispatch.  Winner: any solved, lower objective on ties.
+        # missed): certification-scale budget over a 4B batch in ONE solve
+        # — the split problem warm-started AND from scratch, plus the FULL
+        # corridor problem (sliver split disabled) warm-started AND from
+        # scratch.  A carried (x, y) pair from a nearby problem can trap
+        # the iteration at a stale active set that a scratch solve escapes,
+        # and the split suffix sub-problem (junction start pinned at speed)
+        # is sometimes HARDER than the full problem it was protecting
+        # against (r5 miss-corpus replay: 6/19 residual misses solve only
+        # un-split, runs/drive/warm_miss_analysis.md).  Batching all four
+        # keeps the miss path at ONE extra dispatch — a serial
+        # rescue-then-rescue_full ladder measured p99 135 ms vs the 100 ms
+        # tick budget.  Winner: any solved, lower objective on ties.
         scfg_t = replan.cold_solver_config(cfg.solver)
-        dup = lambda a: jnp.concatenate([a, a], axis=0)
-        data2 = jax.tree.map(dup, data)
-        x02 = jnp.concatenate([x0, jnp.zeros_like(x0)], axis=0)
-        y02 = jax.tree.map(
-            lambda a: jnp.concatenate([a, jnp.zeros_like(a)], axis=0), y0)
-        sol2 = admm.solve_qp(data2, scfg_t, x0=x02, y0=y02)
-        fst = jax.tree.map(lambda a: a[:B], sol2)
-        snd = jax.tree.map(lambda a: a[B:], sol2)
-        take2 = snd.solved & (~fst.solved | (snd.obj < fst.obj))
-        sol = jax.tree.map(
-            lambda a, b: jnp.where(
-                take2.reshape((-1,) + (1,) * (a.ndim - 1)), b, a), fst, snd)
+        data_f = qp.build_qp(qcfg, state9, hpolys, times_q, seg)
+        x0f = qp.scale_coeffs(data_f, prev.coeffs)
+        cat = lambda *xs: jnp.concatenate(xs, axis=0)
+        data4 = jax.tree.map(cat, data, data, data_f, data_f)
+        x04 = cat(x0, jnp.zeros_like(x0), x0f, jnp.zeros_like(x0f))
+        y04 = jax.tree.map(
+            lambda ys, yf: cat(ys, jnp.zeros_like(ys), yf,
+                               jnp.zeros_like(yf)), y0, prev.duals)
+        sol4 = admm.solve_qp(data4, scfg_t, x0=x04, y0=y04)
+        lanes = [jax.tree.map(lambda a: a[i * B:(i + 1) * B], sol4)
+                 for i in range(4)]
+        # move every lane to full-corridor space first, then pick the best
+        cands = []
+        for i, sol_i in enumerate(lanes):
+            d_i = _sol_duals(sol_i)
+            if i < 2:
+                c_i, d_i = _splice(sol_i, d_i)
+            else:
+                c_i = sol_i.coeffs
+            cands.append((sol_i.solved, sol_i.obj, c_i, d_i))
+        solved, obj, sol_c, sol_d = cands[0]
+        for s2, o2, c2, d2 in cands[1:]:
+            take = s2 & (~solved | (o2 < obj))
+            w = lambda b, a: jnp.where(
+                take.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+            sol_c = w(c2, sol_c)
+            sol_d = jax.tree.map(w, d2, sol_d)
+            obj = jnp.where(take, o2, obj)
+            solved = solved | s2
     else:
         scfg_t = replan.warm_solver_config(cfg.solver)
         sol = admm.solve_qp(data, scfg_t, x0=x0, y0=y0)
-    sol_d = _sol_duals(sol)
+        sol_c, sol_d = _splice(sol, _sol_duals(sol))
+        solved = sol.solved
 
-    # splice sliver solutions back: slot 0 = frozen previous piece, slots
-    # 1.. = the sub-problem's pieces
-    dst = jnp.clip(jnp.arange(S)[None, :] - 1, 0, S - 1) * jnp.ones(
-        (B, 1), jnp.int32)
-    unrolled = jnp.take_along_axis(sol.coeffs, dst[:, :, None, None], axis=1)
-    unrolled = unrolled.at[:, 0].set(prev.coeffs[:, 0])
-    sol_c = sel(unrolled, sol.coeffs)
-    sol_d_unrolled = _roll_duals(sol_d, dst, seg, zero_first=True)
-    sol_d = jax.tree.map(lambda b, a: sel(b, a), sol_d_unrolled, sol_d)
-
-    use = sol.solved.reshape(-1, 1, 1, 1)
+    use = solved.reshape(-1, 1, 1, 1)
     plan_c = jnp.where(use, sol_c, prev.coeffs)
     plan_d = jax.tree.map(
         lambda new, old: jnp.where(
-            sol.solved.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            solved.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
         sol_d, prev.duals)
     adv = _advance(cfg, dt, plan_c, times_q, state9, hpolys, seg, plan_d)
-    return sol.solved, plan_c, times_q * mask, adv
+    return solved, plan_c, times_q * mask, adv
 
 
 def _cold_tick(net, cfg: AllocNetConfig, dt: float, time_scale: float,
@@ -538,7 +565,7 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 # --- AOT tick-executable artifacts (the deployment fast-start path) --------
 
-_AOT_NAMES = ("cold", "warm", "rescue", "rescue_full")
+_AOT_NAMES = ("cold", "warm", "rescue")
 
 
 def _aot_manifest(cfg: AllocNetConfig, params) -> dict:
@@ -607,14 +634,6 @@ class Driver:
         # only when the fast warm solve misses (the 100 ms tick budget has
         # room for a second small-batch solve; solving beats tracking)
         self._rescue = make_warm_tick(ct, rate_hz, refine_steps, strong=True)
-        # last-resort rescue: certification budget on the FULL corridor
-        # with the sliver split DISABLED.  Replaying the r5 failure corpus
-        # (scripts/analyze_warm_misses.py): of 19 true warm misses the
-        # 2-lane rescue left, 6 solve as the un-split problem — the split
-        # suffix sub-problem (junction start pinned at speed) is sometimes
-        # HARDER than the full corridor it was protecting against
-        self._rescue_full = make_warm_tick(ct, rate_hz, refine_steps,
-                                           strong=True, sliver_ratio=0.0)
 
     # -- AOT executable artifacts (fast cold start) ------------------------
 
@@ -638,8 +657,6 @@ class Driver:
             "cold": self._cold.lower(state9, hpolys, seg).compile(),
             "warm": self._warm.lower(state9, hpolys, seg, prev).compile(),
             "rescue": self._rescue.lower(state9, hpolys, seg, prev).compile(),
-            "rescue_full": self._rescue_full.lower(
-                state9, hpolys, seg, prev).compile(),
         }
         sizes = {}
         for name, ex in compiled.items():
@@ -684,9 +701,8 @@ class Driver:
                 execs = {n: f.result() for n, f in futs.items()}
         except Exception:
             return False
-        self._cold, self._warm, self._rescue, self._rescue_full = (
-            execs["cold"], execs["warm"], execs["rescue"],
-            execs["rescue_full"])
+        self._cold, self._warm, self._rescue = (
+            execs["cold"], execs["warm"], execs["rescue"])
         return True
 
     def prewarm(self, goal_dist: float = 5.0):
@@ -712,7 +728,6 @@ class Driver:
         seg2 = jnp.asarray(adv.seg, jnp.int32)
         _ = self._warm(adv.state9, adv.hpolys, seg2, adv.prev)
         _ = self._rescue(adv.state9, adv.hpolys, seg2, adv.prev)
-        _ = self._rescue_full(adv.state9, adv.hpolys, seg2, adv.prev)
         jax.block_until_ready(_[0])
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
@@ -756,11 +771,6 @@ class Driver:
                 # in-tick rescue at the certification budget (same warm
                 # start); solving beats tracking and the budget has room
                 solved, plan_c, times, adv = self._rescue(
-                    jnp.asarray(state9), hp_dev, seg_dev, st.prev)
-                ok = bool(np.asarray(solved)[0])
-            if not ok:
-                # last resort: full-corridor re-solve, sliver split off
-                solved, plan_c, times, adv = self._rescue_full(
                     jnp.asarray(state9), hp_dev, seg_dev, st.prev)
                 ok = bool(np.asarray(solved)[0])
         else:
