@@ -530,6 +530,37 @@ def make_warm_tick(cfg: AllocNetConfig, rate_hz: float = 10.0,
                                      sliver_ratio=sliver_ratio))
 
 
+def _combined_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
+                   state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
+                   prev: PlanState):
+    """Warm tick with the rescue LADDER fused in-program: run the fast
+    warm re-solve, and only when it misses run the 4-lane certification
+    rescue — one lax.cond, ONE host dispatch either way.
+
+    The host-side ladder (dispatch warm, sync, dispatch rescue, sync) paid
+    a second ~25 ms tunnel round trip on every miss tick, putting flight
+    p99 at ~101 ms against the 100 ms budget; in-program the miss path
+    costs only the rescue's on-chip compute.  Single-vehicle driver only
+    (the cond predicate is the B=1 scalar)."""
+    solved, plan_c, times, adv = _warm_tick(
+        cfg, dt, refine_steps, False, state9, hpolys, seg, prev)
+
+    def rescue(_):
+        return _warm_tick(cfg, dt, refine_steps, True,
+                          state9, hpolys, seg, prev)
+
+    def keep(_):
+        return solved, plan_c, times, adv
+
+    return jax.lax.cond(solved[0], keep, rescue, operand=None)
+
+
+def make_combined_tick(cfg: AllocNetConfig, rate_hz: float = 10.0,
+                       refine_steps: int = 0):
+    return jax.jit(functools.partial(_combined_tick, cfg, 1.0 / rate_hz,
+                                     refine_steps))
+
+
 def make_cold_tick(net, cfg: AllocNetConfig, params, rate_hz: float = 10.0,
                    time_scale: float = 1.0):
     return jax.jit(functools.partial(_cold_tick, net, cfg, 1.0 / rate_hz,
@@ -565,7 +596,7 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
 # --- AOT tick-executable artifacts (the deployment fast-start path) --------
 
-_AOT_NAMES = ("cold", "warm", "rescue")
+_AOT_NAMES = ("cold", "tick")
 
 
 def _aot_manifest(cfg: AllocNetConfig, params) -> dict:
@@ -629,11 +660,9 @@ class Driver:
             return
         ct = self.cfg_tick
         self._cold = make_cold_tick(net, ct, params, rate_hz, time_scale)
-        self._warm = make_warm_tick(ct, rate_hz, refine_steps)
-        # in-tick rescue: certification-budget warm-started re-solve, run
-        # only when the fast warm solve misses (the 100 ms tick budget has
-        # room for a second small-batch solve; solving beats tracking)
-        self._rescue = make_warm_tick(ct, rate_hz, refine_steps, strong=True)
+        # warm tick with the certification rescue fused in-program
+        # (lax.cond): every tick is exactly ONE device dispatch
+        self._tick = make_combined_tick(ct, rate_hz, refine_steps)
 
     # -- AOT executable artifacts (fast cold start) ------------------------
 
@@ -655,8 +684,7 @@ class Driver:
         state9, hpolys, seg, prev = _aot_dummy_args(self.cfg_tick)
         compiled = {
             "cold": self._cold.lower(state9, hpolys, seg).compile(),
-            "warm": self._warm.lower(state9, hpolys, seg, prev).compile(),
-            "rescue": self._rescue.lower(state9, hpolys, seg, prev).compile(),
+            "tick": self._tick.lower(state9, hpolys, seg, prev).compile(),
         }
         sizes = {}
         for name, ex in compiled.items():
@@ -701,8 +729,7 @@ class Driver:
                 execs = {n: f.result() for n, f in futs.items()}
         except Exception:
             return False
-        self._cold, self._warm, self._rescue = (
-            execs["cold"], execs["warm"], execs["rescue"])
+        self._cold, self._tick = execs["cold"], execs["tick"]
         return True
 
     def prewarm(self, goal_dist: float = 5.0):
@@ -726,8 +753,7 @@ class Driver:
         # under enable_x64 the cold program emits int64 while the
         # (AOT-frozen) warm signature is int32, like tick()
         seg2 = jnp.asarray(adv.seg, jnp.int32)
-        _ = self._warm(adv.state9, adv.hpolys, seg2, adv.prev)
-        _ = self._rescue(adv.state9, adv.hpolys, seg2, adv.prev)
+        _ = self._tick(adv.state9, adv.hpolys, seg2, adv.prev)
         jax.block_until_ready(_[0])
 
     def reset(self, pos, goal, hpolys, seg) -> DriverState:
@@ -764,15 +790,11 @@ class Driver:
 
         t0 = time.perf_counter()
         if have:
-            solved, plan_c, times, adv = self._warm(
+            # ONE dispatch: the fast warm re-solve with the certification
+            # rescue fused behind an in-program cond (see _combined_tick)
+            solved, plan_c, times, adv = self._tick(
                 jnp.asarray(state9), hp_dev, seg_dev, st.prev)
             ok = bool(np.asarray(solved)[0])
-            if not ok:
-                # in-tick rescue at the certification budget (same warm
-                # start); solving beats tracking and the budget has room
-                solved, plan_c, times, adv = self._rescue(
-                    jnp.asarray(state9), hp_dev, seg_dev, st.prev)
-                ok = bool(np.asarray(solved)[0])
         else:
             solved, plan_c, times, adv = self._cold(
                 jnp.asarray(state9), hp_dev, seg_dev)

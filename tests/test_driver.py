@@ -146,7 +146,7 @@ def test_driver_aot_roundtrip(tmp_path):
     drv = driver_lib.Driver(net, params, cfg, rate_hz=10.0)
     path = str(tmp_path / "aot")
     sizes = drv.save_aot(path)
-    assert set(sizes) == {"cold", "warm", "rescue"}
+    assert set(sizes) == {"cold", "tick"}
 
     drv2 = driver_lib.Driver(net, params, cfg, rate_hz=10.0, aot_path=path)
     assert drv2.aot_loaded
