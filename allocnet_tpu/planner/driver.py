@@ -320,7 +320,8 @@ SLIVER_RATIO = 0.6
 def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
                strong: bool,
                state9: jax.Array, hpolys: jax.Array, seg: jax.Array,
-               prev: PlanState, sliver_ratio: float = SLIVER_RATIO):
+               prev: PlanState, sliver_ratio: float = SLIVER_RATIO,
+               rescue_scfg: SolverConfig | None = None):
     """One warm tick: re-solve from the pinned state with the shifted
     previous plan as warm start, fall back to tracking it on failure, then
     advance.  Returns (solved, plan_c, times, advance).
@@ -409,7 +410,8 @@ def _warm_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
         # keeps the miss path at ONE extra dispatch — a serial
         # rescue-then-rescue_full ladder measured p99 135 ms vs the 100 ms
         # tick budget.  Winner: any solved, lower objective on ties.
-        scfg_t = replan.cold_solver_config(cfg.solver)
+        scfg_t = (rescue_scfg if rescue_scfg is not None
+                  else replan.cold_solver_config(cfg.solver))
         data_f = qp.build_qp(qcfg, state9, hpolys, times_q, seg)
         x0f = qp.scale_coeffs(data_f, prev.coeffs)
         cat = lambda *xs: jnp.concatenate(xs, axis=0)
@@ -546,8 +548,22 @@ def _combined_tick(cfg: AllocNetConfig, dt: float, refine_steps: int,
         cfg, dt, refine_steps, False, state9, hpolys, seg, prev)
 
     def rescue(_):
-        return _warm_tick(cfg, dt, refine_steps, True,
-                          state9, hpolys, seg, prev)
+        # stage 1: LIGHT warm-friendly budget (2x150 — solves more of the
+        # warm-started misses than 4x250 AND costs ~3x less on-chip, see
+        # replan.rescue_solver_config)
+        light = replan.rescue_solver_config(cfg.solver)
+        s2, p2, t2, a2 = _warm_tick(cfg, dt, refine_steps, True,
+                                    state9, hpolys, seg, prev,
+                                    rescue_scfg=light)
+
+        def heavy(_):
+            # stage 2: full certification chunk schedule, for the rare
+            # scratch-start recovery the light budget cannot reach
+            return _warm_tick(cfg, dt, refine_steps, True,
+                              state9, hpolys, seg, prev)
+
+        return jax.lax.cond(s2[0], lambda _: (s2, p2, t2, a2), heavy,
+                            operand=None)
 
     def keep(_):
         return solved, plan_c, times, adv

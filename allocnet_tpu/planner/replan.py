@@ -55,6 +55,21 @@ def warm_solver_config(scfg: SolverConfig) -> SolverConfig:
         obj_max=float("inf"))
 
 
+def rescue_solver_config(scfg: SolverConfig) -> SolverConfig:
+    """LIGHT certification-polish budget for warm-started in-tick rescues.
+
+    Replaying the r5 warm-miss corpus: the 4x250 cold budget solves 6/19
+    residual misses while 2x150 solves 10/19 — on a warm-started problem
+    every extra chunk boundary re-scales rho from residual balance, which
+    can kick the iterate off the warm fixed point it started at.  Fewer,
+    longer-polished chunks win, and the rescue's on-chip cost drops ~3x
+    (it sits directly in the tick's p99).  The heavy 4x250 budget remains
+    the SECOND rescue stage (driver._combined_tick) for scratch-start
+    recoveries that genuinely need the chunk schedule."""
+    return dataclasses.replace(
+        cold_solver_config(scfg), n_chunks=2, iters_per_chunk=150)
+
+
 def cold_solver_config(scfg: SolverConfig) -> SolverConfig:
     """Certification-scale budget for COLD plans (fresh goal, no warm
     start).  Measured on real res=20 clutter-map corridors: the deploy
